@@ -1,0 +1,475 @@
+"""Deterministic per-document extraction kernels (SURVEY.md §2.7, E1-E3).
+
+The reference repo outsources extraction to Mistral OCR
+(``utils/text_extract_MistralAI.py:24-37``) and vision LLMs
+(``utils/utility.py:99-155``); per the north rule we re-implement the
+published algorithms those services embody as pure, deterministic Python
+over span lists:
+
+* E1 ``extract_html_fragment`` — Arc90/readability-style boilerplate strip:
+  flatten the DOM into a block-node table, score candidate containers by
+  text density and link density, keep the best container's blocks.
+* E2 ``extract_pdf_blocks`` — rule-based layout segmentation: reading-order
+  sort by (page, column, y, x) with x-gap column clustering, heading/body/
+  caption classification from per-page font-size histograms.
+* E3 ``stitch_media`` — re-anchor figure/table spans into the extracted
+  text stream at the nearest text span whose source offset <= the media's
+  anchor offset (mirrors OCR markdown keeping figure refs in-stream at
+  their source positions, ``utils/text_extract_MistralAI.py:29``).
+
+These functions are shared verbatim between the pure-Python golden-fixture
+producer (tests) and the Spark pandas-UDF wrappers (operators/extract.py),
+so Spark-vs-golden span equality holds by construction; the kernels
+themselves are pinned by hand-written expected outputs in tests/.
+
+Every function here is pure: no wall clock, no randomness, no I/O.
+Text is NFC-normalized and whitespace-collapsed for byte-stable goldens
+(SURVEY.md §7 hard point (b)).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from html.parser import HTMLParser
+
+# ---------------------------------------------------------------------------
+# Tunables (pinned by golden fixtures — change these and goldens change).
+# ---------------------------------------------------------------------------
+
+MIN_BODY_CHARS = 25  # Arc90's paragraph threshold
+MAX_LINK_DENSITY = 0.33  # body blocks above this are boilerplate
+MAX_HEADING_LINK_DENSITY = 0.5
+MIN_HEADING_CHARS = 3
+COLUMN_GAP_PX = 180  # x-gap beyond which a new column starts
+HEADING_FONT_DELTA = 2  # font px above page-modal body font => heading
+CAPTION_ANCHOR_DIST = 2  # |block stream pos - media anchor| <= this => caption
+SPAN_SEP_CHARS = 1  # separator width when recomputing cumulative offsets
+
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "blockquote",
+        "pre", "td", "th", "dt", "dd", "figcaption", "caption", "div",
+        "article", "section", "main", "body",
+    }
+)
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_CONTAINER_TAGS = frozenset(
+    {"div", "article", "section", "main", "body", "td", "blockquote", "li"}
+)
+_BOILERPLATE_TAGS = frozenset(
+    {
+        "nav", "header", "footer", "aside", "script", "style", "noscript",
+        "form", "button", "select", "option", "iframe", "svg", "template",
+    }
+)
+_VOID_TAGS = frozenset(
+    {
+        "br", "img", "hr", "meta", "input", "link", "area", "base", "col",
+        "embed", "source", "track", "wbr",
+    }
+)
+
+_WS_RE = re.compile(r"\s+")
+
+
+def norm_text(s: str) -> str:
+    """NFC-normalize and collapse whitespace runs to single spaces."""
+    if not s:
+        return ""
+    return _WS_RE.sub(" ", unicodedata.normalize("NFC", s)).strip()
+
+
+# ---------------------------------------------------------------------------
+# E1 — HTML boilerplate stripping (Arc90 / readability-style)
+# ---------------------------------------------------------------------------
+
+
+class _Node:
+    """DOM node; ``content`` interleaves child nodes and (is_link, text)
+    tuples in document order so text around inline children stays ordered."""
+
+    __slots__ = ("tag", "parent", "content", "order")
+
+    def __init__(self, tag: str, parent: "_Node | None", order: int):
+        self.tag = tag
+        self.parent = parent
+        self.content: list = []  # _Node | (is_link: bool, text: str)
+        self.order = order  # document order (creation index)
+
+    def child_nodes(self):
+        return (c for c in self.content if isinstance(c, _Node))
+
+
+class _DomBuilder(HTMLParser):
+    """Tolerant SAX->tree builder over stdlib HTMLParser."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._order = 0
+        self.root = _Node("#root", None, self._order)
+        self._stack = [self.root]
+        self._link_depth = 0
+
+    def _push(self, tag: str) -> None:
+        self._order += 1
+        node = _Node(tag, self._stack[-1], self._order)
+        self._stack[-1].content.append(node)
+        self._stack.append(node)
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            if tag == "br":
+                self._stack[-1].content.append((self._link_depth > 0, " "))
+            return
+        if tag == "a":
+            self._link_depth += 1
+        self._push(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "br":
+            self._stack[-1].content.append((self._link_depth > 0, " "))
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        # tolerant close: pop to the nearest matching open tag, if any
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                break
+        if tag == "a" and self._link_depth > 0:
+            self._link_depth -= 1
+
+    def handle_data(self, data):
+        if data:
+            self._stack[-1].content.append((self._link_depth > 0, data))
+
+
+def _collect_text(node: _Node) -> tuple[str, int]:
+    """All descendant text (document order) and the char count inside links."""
+    parts: list[str] = []
+    link_chars = 0
+
+    def walk(n: _Node, in_link: bool) -> None:
+        nonlocal link_chars
+        for c in n.content:
+            if isinstance(c, _Node):
+                if c.tag in _BOILERPLATE_TAGS:
+                    continue
+                walk(c, in_link or c.tag == "a")
+            else:
+                is_link, t = c
+                parts.append(t)
+                if is_link or in_link:
+                    link_chars += len(t)
+
+    walk(node, False)
+    text = norm_text("".join(parts))
+    return text, link_chars
+
+
+def _iter_nodes(node: _Node):
+    yield node
+    for c in node.child_nodes():
+        yield from _iter_nodes(c)
+
+
+def _has_block_child(node: _Node) -> bool:
+    return any(c.tag in _BLOCK_TAGS for c in node.child_nodes())
+
+
+def _under_boilerplate(node: _Node) -> bool:
+    n = node.parent
+    while n is not None:
+        if n.tag in _BOILERPLATE_TAGS:
+            return True
+        n = n.parent
+    return False
+
+
+def extract_html_fragment(html: str) -> list[tuple[str, str]]:
+    """Arc90-style main-content extraction over one HTML fragment.
+
+    Returns ordered [(kind, text)] with kind in {heading, body, caption}.
+    Reference analog: the raw Serper scrape is fed to the LLM unprocessed
+    (``config/configuration.py:151-165``); this kernel is the deterministic
+    replacement demanded by the north star.
+    """
+    builder = _DomBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # Tolerant: unparseable fragment -> treat as plain text.
+        t = norm_text(re.sub(r"<[^>]*>", " ", html))
+        return [("body", t)] if len(t) >= MIN_BODY_CHARS else []
+    root = builder.root
+
+    # Leaf blocks: block-level elements with no block children.
+    blocks: list[tuple[_Node, str, str, float]] = []  # (node, kind, text, ld)
+    for n in _iter_nodes(root):
+        if n.tag not in _BLOCK_TAGS or _has_block_child(n):
+            continue
+        if _under_boilerplate(n):
+            continue
+        text, link_chars = _collect_text(n)
+        if not text:
+            continue
+        ld = link_chars / max(len(text), 1)
+        if n.tag in _HEADING_TAGS:
+            kind = "heading"
+        elif n.tag in ("figcaption", "caption"):
+            kind = "caption"
+        else:
+            kind = "body"
+        blocks.append((n, kind, text, ld))
+
+    # Score candidate containers (Arc90: paragraphs vote for parent and
+    # grandparent).
+    scores: dict[int, float] = {}
+    nodes_by_order: dict[int, _Node] = {}
+    for n, kind, text, ld in blocks:
+        if kind != "body" or len(text) < MIN_BODY_CHARS or ld >= MAX_LINK_DENSITY:
+            continue
+        pts = 1.0 + min(len(text) // 100, 3)
+        parent = n.parent
+        if parent is not None:
+            scores[parent.order] = scores.get(parent.order, 0.0) + pts
+            nodes_by_order[parent.order] = parent
+            gp = parent.parent
+            if gp is not None:
+                scores[gp.order] = scores.get(gp.order, 0.0) + pts / 2.0
+                nodes_by_order[gp.order] = gp
+
+    if not scores:
+        return []  # linkfarm / empty: nothing passes density thresholds
+
+    best_order = max(scores, key=lambda o: (scores[o], -o))
+    best = nodes_by_order[best_order]
+    keep = set(id(x) for x in _iter_nodes(best))
+
+    out: list[tuple[str, str]] = []
+    for n, kind, text, ld in blocks:
+        if id(n) not in keep:
+            continue
+        if kind == "heading":
+            if len(text) >= MIN_HEADING_CHARS and ld < MAX_HEADING_LINK_DENSITY:
+                out.append((kind, text))
+        elif kind == "caption":
+            if len(text) >= MIN_HEADING_CHARS and ld < MAX_LINK_DENSITY:
+                out.append((kind, text))
+        else:
+            if len(text) >= MIN_BODY_CHARS and ld < MAX_LINK_DENSITY:
+                out.append((kind, text))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# E2 — PDF layout segmentation
+# ---------------------------------------------------------------------------
+
+_LAYOUT_RE = re.compile(r"^p(\d+)\.c(\d+)\.y(\d+)\.x(\d+)\.f(\d+)$")
+
+
+def parse_layout_token(token: str) -> tuple[int, int, int, int, int]:
+    """Parse ``p{page}.c{col}.y{y}.x{x}.f{font_px}`` (FIXTURES.md §1)."""
+    m = _LAYOUT_RE.match(token or "")
+    if not m:
+        return (0, 0, 0, 0, 12)
+    return tuple(int(g) for g in m.groups())  # type: ignore[return-value]
+
+
+def extract_pdf_blocks(
+    blocks: list[tuple[str, str, int]],
+    media_offsets: list[int],
+) -> list[tuple[str, str, int]]:
+    """Layout-order and classify PDF text blocks.
+
+    ``blocks``: [(text, layout_token, stream_offset)] in input order.
+    ``media_offsets``: stream offsets of media spans in the same doc (for
+    caption detection).
+    Returns ordered [(kind, text, source_offset)].
+
+    Reading order: sort by (page, derived column, y, x). Columns are derived
+    per page by x-gap clustering (> COLUMN_GAP_PX starts a new column) — the
+    ``c`` field of the token is a generator hint and deliberately ignored so
+    the kernel stands alone. Classification per page: body font = modal font
+    size weighted by char count; font >= body + HEADING_FONT_DELTA =>
+    heading; font < body and within CAPTION_ANCHOR_DIST stream positions of
+    a media anchor => caption; else body. Per-page histograms keep the
+    kernel chunk-safe at page boundaries for salted mega-doc splits
+    (SURVEY.md §4.3).
+    """
+    parsed = []
+    for i, (text, token, off) in enumerate(blocks):
+        page, _c, y, x, font = parse_layout_token(token)
+        t = norm_text(text)
+        if not t:
+            continue
+        parsed.append((page, y, x, font, t, off, i))
+    if not parsed:
+        return []
+
+    # Per-page column derivation by x-gap clustering.
+    by_page: dict[int, list] = {}
+    for rec in parsed:
+        by_page.setdefault(rec[0], []).append(rec)
+
+    ordered: list[tuple[int, int, int, int, int, str, int, int]] = []
+    page_body_font: dict[int, int] = {}
+    for page in sorted(by_page):
+        recs = by_page[page]
+        xs = sorted({r[2] for r in recs})
+        col_of: dict[int, int] = {}
+        col = 0
+        prev = None
+        for x in xs:
+            if prev is not None and x - prev > COLUMN_GAP_PX:
+                col += 1
+            col_of[x] = col
+            prev = x
+        # Modal body font weighted by char count; ties -> smaller font.
+        weight: dict[int, int] = {}
+        for _p, _y, _x, font, t, _off, _i in recs:
+            weight[font] = weight.get(font, 0) + len(t)
+        body_font = min(weight, key=lambda f: (-weight[f], f))
+        page_body_font[page] = body_font
+        for p, y, x, font, t, off, i in recs:
+            ordered.append((p, col_of[x], y, x, i, font, t, off))
+
+    ordered.sort(key=lambda r: (r[0], r[1], r[2], r[3], r[4]))
+
+    out: list[tuple[str, str, int]] = []
+    for page, _col, _y, _x, _i, font, text, off in ordered:
+        body_font = page_body_font[page]
+        if font >= body_font + HEADING_FONT_DELTA:
+            kind = "heading"
+        elif font < body_font and any(
+            abs(off - m) <= CAPTION_ANCHOR_DIST for m in media_offsets
+        ):
+            kind = "caption"
+        else:
+            kind = "body"
+        out.append((kind, text, off))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# E3 — media stitching + offset recomputation (W2)
+# ---------------------------------------------------------------------------
+
+
+def stitch_media(
+    text_spans: list[tuple[str, str, int]],
+    media_spans: list[tuple[str, str, str, int]],
+) -> list[dict]:
+    """Interleave media into the extracted text stream and recompute offsets.
+
+    ``text_spans``: ordered [(kind, text, source_offset)].
+    ``media_spans``: [(kind, caption_text, media_ref, anchor_offset)] in
+    input order; kind in {figure, table_image}.
+
+    Each media span is inserted after the LAST text span (in output order)
+    whose source offset <= the media anchor offset; media with no such text
+    span go before all text; media sharing an anchor keep their input
+    relative order (FIXTURES.md ``mixed_media``). Output offsets are the
+    recomputed cumulative char offsets (reference analog: the transcript is
+    one contiguous string so downstream offsets are cumulative,
+    ``utils/text_extract_MistralAI.py:32-37``).
+    """
+    # anchor position: index into text_spans AFTER which the media goes
+    # (-1 = before all text). "last in output order with src_offset <= m".
+    inserts: list[list[tuple[str, str, str]]] = [[] for _ in range(len(text_spans) + 1)]
+    for kind, caption, ref, anchor in media_spans:
+        pos = -1
+        for i, (_k, _t, src) in enumerate(text_spans):
+            if src <= anchor:
+                pos = i
+        out_kind = "table" if kind in ("table_image", "table") else "figure"
+        inserts[pos + 1].append((out_kind, norm_text(caption), ref))
+
+    merged: list[tuple[str, str, str]] = []
+    for k, t, ref in inserts[0]:
+        merged.append((k, t, ref))
+    for i, (kind, text, _src) in enumerate(text_spans):
+        merged.append((kind, text, ""))
+        for k, t, ref in inserts[i + 1]:
+            merged.append((k, t, ref))
+
+    out: list[dict] = []
+    off = 0
+    for kind, text, ref in merged:
+        out.append({"kind": kind, "text": text, "media_ref": ref, "offset": off})
+        off += len(text) + SPAN_SEP_CHARS
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Per-document driver: dispatch + assemble
+# ---------------------------------------------------------------------------
+
+MEDIA_KINDS = frozenset({"figure", "table_image", "table"})
+_PASSTHROUGH_KINDS = frozenset({"heading", "body", "caption"})
+
+
+def extract_document(spans) -> list[dict]:
+    """Extract one document's span list into ordered output spans.
+
+    Dispatch mirrors the reference's 5-way content_type branch
+    (``routes/route.py:81-102``): text passthrough, html -> E1,
+    pdf_block -> E2, figure/table_image -> E3 stitching. Mixed-modality
+    docs are handled by emitting each unit at the source position of its
+    first span; pdf blocks form one layout-ordered unit.
+
+    Output: list of {kind, text, media_ref, offset} dicts; array order is
+    extraction order; offsets cumulative. Invariant vs goldens: sequence
+    equality on (kind, text, media_ref, order) — BASELINE.json input_hint.
+    """
+    if spans is None:
+        return []
+    pdf_blocks: list[tuple[str, str, int]] = []
+    pdf_first: tuple[int, int] | None = None
+    media: list[tuple[str, str, str, int]] = []
+    media_offsets: list[int] = []
+    # units: (sort_key, payload) where payload is list of (kind,text,src)
+    units: list[tuple[tuple[int, int], list[tuple[str, str, int]]]] = []
+
+    for idx, sp in enumerate(spans):
+        kind = sp["kind"] or ""
+        text = sp["text"] or ""
+        ref = sp["media_ref"] or ""
+        off = int(sp["offset"]) if sp["offset"] is not None else 0
+        if kind == "pdf_block":
+            pdf_blocks.append((text, ref, off))
+            if pdf_first is None:
+                pdf_first = (off, idx)
+        elif kind in MEDIA_KINDS:
+            media.append((kind, text, ref, off))
+            media_offsets.append(off)
+        elif kind == "html":
+            extracted = [(k, t, off) for k, t in extract_html_fragment(text)]
+            if extracted:
+                units.append(((off, idx), extracted))
+        elif kind in _PASSTHROUGH_KINDS:
+            # already-extracted spans pass through kind-preserving, which
+            # makes extract_document exactly idempotent (tested property)
+            t = norm_text(text)
+            if t:
+                units.append(((off, idx), [(kind, t, off)]))
+        else:  # 'text' and unknown kinds: normalized passthrough as body
+            t = norm_text(text)
+            if t:
+                units.append(((off, idx), [("body", t, off)]))
+
+    if pdf_blocks:
+        extracted = extract_pdf_blocks(pdf_blocks, media_offsets)
+        if extracted:
+            units.append((pdf_first, extracted))  # type: ignore[arg-type]
+
+    units.sort(key=lambda u: u[0])
+    text_spans: list[tuple[str, str, int]] = []
+    for _key, payload in units:
+        text_spans.extend(payload)
+
+    return stitch_media(text_spans, media)

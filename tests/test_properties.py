@@ -1,0 +1,63 @@
+"""Property tests over the corpus generator + kernels (SURVEY.md §5.2.2)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ai_textbook_processor_spark.corpus import ALL_FAMILIES, gen_doc
+from ai_textbook_processor_spark.functions.kernels import MEDIA_KINDS, extract_document
+
+OUT_KINDS = {"heading", "body", "caption", "figure", "table"}
+
+
+def _doc(idx: int, family: str) -> dict:
+    return gen_doc(idx, seed=42, family=family)
+
+
+families = st.sampled_from(ALL_FAMILIES)
+small_idx = st.integers(min_value=0, max_value=500)
+
+
+@settings(max_examples=60, deadline=None)
+@given(small_idx, families)
+def test_determinism(idx, family):
+    d = _doc(idx, family)
+    assert extract_document(d["spans"]) == extract_document(d["spans"])
+    assert _doc(idx, family) == d  # generator itself deterministic
+
+
+@settings(max_examples=60, deadline=None)
+@given(small_idx, families)
+def test_idempotence(idx, family):
+    out1 = extract_document(_doc(idx, family)["spans"])
+    assert extract_document(out1) == out1
+
+
+@settings(max_examples=60, deadline=None)
+@given(small_idx, families)
+def test_offsets_cumulative_and_kinds(idx, family):
+    out = extract_document(_doc(idx, family)["spans"])
+    off = 0
+    for s in out:
+        assert s["kind"] in OUT_KINDS
+        assert s["offset"] == off
+        off += len(s["text"]) + 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(small_idx, families)
+def test_media_ref_conservation(idx, family):
+    spans = _doc(idx, family)["spans"]
+    in_refs = [s["media_ref"] for s in spans if s["kind"] in MEDIA_KINDS]
+    out = extract_document(spans)
+    out_refs = [s["media_ref"] for s in out if s["kind"] in ("figure", "table")]
+    assert sorted(out_refs) == sorted(in_refs)
+
+
+@settings(max_examples=40, deadline=None)
+@given(small_idx)
+def test_text_content_survives_passthrough(idx):
+    # 'text' docs: every normalized input paragraph appears verbatim
+    d = _doc(idx, "high_grade")
+    out = extract_document(d["spans"])
+    texts = [s["text"] for s in out]
+    assert len(texts) == len(d["spans"])
