@@ -1,0 +1,1136 @@
+"""Driver-harness query registry: Spark queries + DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a (Spark callable,
+ANSI-SQL oracle) pair over the read-only /root/testdata tables, plus the
+training-data-pipeline operators (dedup, similarity search, text analysis).
+Column names and float rounding are kept identical on both sides because the
+driver compares by (row count, schema, order-insensitive value hash).
+
+Cross-engine determinism notes:
+* hashes: md5 hex -> bigint is identical in Spark (``conv(substr(md5,..)``)
+  and DuckDB (``CAST('0x'||substr(md5,..) AS BIGINT)``).
+* floats: every emitted double is ``round(x, k)`` on both sides.
+* timestamps: only integer date parts are emitted (no tz/dtype hazards).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# word / sentence / syllable regexes — single source of truth, used verbatim
+# in both engines (Java regex and RE2 agree on these constructs).
+WORD_RE = "[A-Za-z0-9']+"
+SENT_RE = "[.!?]+"
+VOWEL_RE = "(?i)[aeiouy]+"
+SILENT_E_RE = "(?i)[a-z][bcdfghjklmnpqrstvwxz]e\\b"
+
+
+# ---------------------------------------------------------------------------
+# S/A — sources, ordered concatenation (SURVEY §2.1, §2.4: A1/A2/S3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_ordered_concat",
+    """
+    SELECT source,
+           string_agg(text, ' ' ORDER BY doc_id) AS transcript,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def a1_ordered_concat(spark, sf_dir):
+    """Ordered group-concat — the reference's page-markdown join
+    (utils/text_extract_MistralAI.py:32-37) as groupBy + array_join over a
+    sorted collect_list."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda x: x["text"],
+            ),
+            " ",
+        ).alias("transcript"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "s9_point_lookup",
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+def s9_point_lookup(spark, sf_dir):
+    """ChromaDB point get (utils/chroma_utility.py:36-44) — predicate-pushdown
+    point lookup."""
+    return _t(spark, sf_dir, "documents").where(F.col("doc_id") == 42).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "a3_first_per_group",
+    """
+    SELECT source, min_by(doc_id, n_chars) AS smallest_doc,
+           arg_max(doc_id, n_chars) AS largest_doc
+    FROM documents GROUP BY source
+    """,
+)
+def a3_first_per_group(spark, sf_dir):
+    """The reference's first-image-only quirk (text_extract_MistralAI.py:47-52)
+    as min_by/max_by."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.min_by("doc_id", F.col("n_chars") * 1000 + F.col("doc_id")).alias("smallest_doc"),
+            F.max_by("doc_id", F.col("n_chars") * 1000 + F.col("doc_id")).alias("largest_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P — projections / filters / predicates (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p2_predicates",
+    """
+    SELECT source, count(*) AS n
+    FROM documents
+    WHERE ends_with(lower(source), '1') AND n_chars > 100
+    GROUP BY source
+    """,
+)
+def p2_predicates(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.lower("source").endswith("1") & (F.col("n_chars") > 100))
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+@query(
+    "p3_substring_truncation",
+    """
+    SELECT doc_id, substr(text, 1, 100) AS prefix,
+           length(substr(text, 1, 100)) AS prefix_len
+    FROM documents WHERE doc_id < 25
+    """,
+)
+def p3_substring_truncation(spark, sf_dir):
+    """Validation-prefix truncation (agents/nodes.py:136)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 25)
+    p = F.substring("text", 1, 100)
+    return d.select("doc_id", p.alias("prefix"), F.length(p).alias("prefix_len"))
+
+
+@query(
+    "p5_error_prefix_gate",
+    """
+    SELECT CASE WHEN starts_with(text, 'key') THEN 'quarantine' ELSE 'ok' END AS channel,
+           count(*) AS n, sum(n_chars) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def p5_error_prefix_gate(spark, sf_dir):
+    """ERROR-prefix routing (routes/route.py:136-138) as a channel split."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "channel",
+            F.when(F.col("text").startswith("key"), "quarantine").otherwise("ok"),
+        )
+        .groupBy("channel")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "p6_criteria_conjunction",
+    """
+    SELECT count(*) AS n_valid
+    FROM documents
+    WHERE lang = 'en' AND n_chars BETWEEN 150 AND 450
+      AND len(regexp_extract_all(text, '[A-Za-z0-9'']+')) >= 20
+    """,
+)
+def p6_criteria_conjunction(spark, sf_dir):
+    """Three-check validation conjunction (agents/nodes.py:260-270)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        (F.col("lang") == "en")
+        & F.col("n_chars").between(150, 450)
+        & (F.size(F.regexp_extract_all("text", F.lit(WORD_RE), 0)) >= 20)
+    ).agg(F.count("*").alias("n_valid"))
+
+
+@query(
+    "p8_split_counts",
+    """
+    SELECT CASE WHEN n_chars >= 250 THEN 'valid' ELSE 'quarantine' END AS route,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def p8_split_counts(spark, sf_dir):
+    """Valid/quarantine conditional edge (agents/graph.py:31-42) — counts of
+    the two branches must sum to the input count."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "route", F.when(F.col("n_chars") >= 250, "valid").otherwise("quarantine")
+        )
+        .groupBy("route")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j2_semi_join_lookup",
+    """
+    SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+    FROM documents
+    WHERE doc_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    GROUP BY lang
+    """,
+)
+def j2_semi_join_lookup(spark, sf_dir):
+    """Batched id->document retrieval (routes/route.py:201) as a broadcast
+    left-semi join."""
+    d = _t(spark, sf_dir, "documents")
+    ids = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(ids), "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "j3_anti_join_resume",
+    """
+    SELECT count(*) AS n_todo, sum(n_chars) AS todo_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+    """,
+)
+def j3_anti_join_resume(spark, sf_dir):
+    """Checkpoint-resume skip: anti-join against the committed set
+    (SURVEY §4.3); committed = doc_id % 7 = 0."""
+    d = _t(spark, sf_dir, "documents")
+    committed = d.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    return (
+        d.join(F.broadcast(committed), "doc_id", "left_anti")
+        .agg(F.count("*").alias("n_todo"), F.sum("n_chars").alias("todo_chars"))
+    )
+
+
+@query(
+    "j4_metadata_enrichment",
+    """
+    SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def j4_metadata_enrichment(spark, sf_dir):
+    """Metadata enrichment (agents/helper.py:135-140) as broadcast equi-joins
+    of small dims."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W — windows / ordering (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_reading_order_topk",
+    """
+    SELECT lang, doc_id, rn FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def w1_reading_order_topk(spark, sf_dir):
+    """Reading-order ranking (routes/route.py:122-126 page order) as
+    row_number window + top-k filter (W1/W4)."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "doc_id", "rn")
+    )
+
+
+@query(
+    "w2_running_offset",
+    """
+    SELECT doc_id, source,
+           coalesce(sum(n_chars) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
+    FROM documents WHERE source IN ('src0', 'src1')
+    """,
+)
+def w2_running_offset(spark, sf_dir):
+    """Cumulative output-offset recomputation (W2): running sum with a
+    rowsBetween(unboundedPreceding, -1) frame."""
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isin("src0", "src1"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("offset"),
+    )
+
+
+@query(
+    "w3_modal_rank",
+    """
+    SELECT lang, bucket, n, rnk FROM (
+      SELECT lang, bucket, n,
+             rank() OVER (PARTITION BY lang ORDER BY n DESC, bucket) AS rnk
+      FROM (
+        SELECT lang, n_chars // 100 AS bucket, count(*) AS n
+        FROM documents GROUP BY 1, 2
+      )
+    ) WHERE rnk <= 2
+    """,
+)
+def w3_modal_rank(spark, sf_dir):
+    """Font-size-histogram mode finding (W3): count per bucket + rank to find
+    the modal class."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.withColumn("bucket", (F.col("n_chars") / 100).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bucket"))
+    return (
+        counts.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("lang", "bucket", "n", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V — deterministic readability validation in pure SQL (SURVEY §2.6 V1/E4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "v1_readability_sql",
+    f"""
+    SELECT doc_id, n_words, n_sents,
+           round(0.39 * (n_words / n_sents)
+                 + 11.8 * (n_syll / greatest(n_words, 1)) - 15.59, 4) AS fk_grade
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{WORD_RE.replace("'", "''")}')) AS n_words,
+             greatest(len(regexp_extract_all(text, '{SENT_RE}')), 1) AS n_sents,
+             greatest(len(regexp_extract_all(text, '{WORD_RE.replace("'", "''")}')),
+                      len(regexp_extract_all(text, '{VOWEL_RE}'))
+                      - len(regexp_extract_all(text, '{SILENT_E_RE}'))) AS n_syll
+      FROM documents WHERE doc_id < 50
+    )
+    """,
+)
+def v1_readability_sql(spark, sf_dir):
+    """Flesch-Kincaid grade computed with the engine's own regex recipe —
+    proves the scorer's feature extraction is SQL-checkable (replaces the
+    LLM validator, agents/nodes.py:229-258)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    n_words = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), 0))
+    n_sents = F.greatest(F.size(F.regexp_extract_all("text", F.lit(SENT_RE), 0)), F.lit(1))
+    n_syll = F.greatest(
+        n_words,
+        F.size(F.regexp_extract_all("text", F.lit(VOWEL_RE), 0))
+        - F.size(F.regexp_extract_all("text", F.lit(SILENT_E_RE), 0)),
+    )
+    fk = F.round(
+        0.39 * (n_words / n_sents) + 11.8 * (n_syll / F.greatest(n_words, F.lit(1))) - 15.59,
+        4,
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        fk.alias("fk_grade"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation rollups (A4 lineage analog) + TPC-H Q1 shape
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a4_lineage_rollup",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a4_lineage_rollup(spark, sf_dir):
+    """Per-partition metrics rollup (SSE progress accounting,
+    routes/route.py:205-268 -> lineage GROUP BY)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical scan->filter->hash-agg plan (bench
+    headline)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time rollup + sessionization (streaming semantics, batch-checked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_hourly_rollup",
+    """
+    SELECT date_part('day', ts) AS d, date_part('hour', ts) AS h, event_type,
+           count(*) AS n, round(sum(value), 2) AS v
+    FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def ev_hourly_rollup(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the streaming windowed agg;
+    integer date parts keep the comparison tz-proof)."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "events").where(F.col("ts") < "2024-01-03")
+    return e.groupBy(
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+
+
+@query(
+    "ev_sessionize",
+    """
+    SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events FROM (
+      SELECT user_id, session_id, count(*) AS n_ev FROM (
+        SELECT user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events WHERE user_id < 20
+        )
+      ) GROUP BY user_id, session_id
+    ) GROUP BY user_id
+    """,
+)
+def ev_sessionize(spark, sf_dir):
+    """Sessionization: lag + gap>30min cumulative session ids (the batch
+    equivalent of session_window in streaming)."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(w)
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_ev")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_ev").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (training-data pipeline ops; scale path = minhash-LSH,
+# exact jaccard is the verifier on LSH candidates)
+# ---------------------------------------------------------------------------
+
+# md5-hex -> bigint works identically in both engines (48-bit slice, no
+# overflow); P is a Mersenne prime for the affine minhash permutations.
+_MH_P = (1 << 31) - 1
+_MH_COEFS = [(1299721, 104729), (15485863, 32452843), (49979687, 899809363),
+             (104395301, 512927357)]
+
+
+def _spark_word_hash(col):
+    return (
+        F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint") % _MH_P
+    )
+
+
+_SQL_WORD_HASH = (
+    "CAST(CONCAT('0x', substr(md5({c}), 1, 12)) AS BIGINT) % 2147483647"
+)
+
+
+@query(
+    "dd_exact_fingerprint",
+    """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(lower(substr(text, 1, 60)))) AS n_unique,
+           count(*) - count(DISTINCT md5(lower(substr(text, 1, 60)))) AS n_dups
+    FROM documents GROUP BY source
+    """,
+)
+def dd_exact_fingerprint(spark, sf_dir):
+    """Exact dedup via content hash (hash-groupBy; at scale: one shuffle on
+    the fingerprint, map-side partial agg)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.substring("text", 1, 60)))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_dups"),
+    )
+
+
+@query(
+    "dd_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents WHERE doc_id < 120
+    ), words AS (
+      SELECT doc_id,
+             unnest([{'i': x, 'w': ws[x]} for x in generate_series(1, len(ws))],
+                    recursive := true)
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+        FROM words
+      ) WHERE shingle IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard,
+             row_number() OVER (
+               ORDER BY n_inter * 1.0 / (sa.sz + sb.sz - n_inter) DESC, doc_a, doc_b
+             ) AS rn
+      FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+    ) WHERE rn <= 20
+    """,
+)
+def dd_ngram_jaccard(spark, sf_dir):
+    """3-gram-shingle Jaccard near-dup detection: top-20 most similar pairs
+    (exact all-pairs on shared shingles; at 100 TB this runs only on LSH
+    candidate pairs, never all-pairs)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
+            "i", "w"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    sh = (
+        words.withColumn("w1", F.lead("w", 1).over(w))
+        .withColumn("w2", F.lead("w", 2).over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter"))
+            ).alias("jac_raw"),
+        )
+    )
+    wn = W.orderBy(F.col("jac_raw").desc(), "doc_a", "doc_b")
+    return (
+        j.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") <= 20)
+        .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
+    )
+
+
+@query(
+    "dd_minhash_lsh",
+    f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents WHERE doc_id < 60
+      )
+    ), hashes AS (
+      SELECT doc_id, {_SQL_WORD_HASH.format(c='w')} AS h FROM words
+    ), sigs AS (
+      SELECT doc_id,
+             min((1299721 * h + 104729) % 2147483647) AS s0,
+             min((15485863 * h + 32452843) % 2147483647) AS s1,
+             min((49979687 * h + 899809363) % 2147483647) AS s2,
+             min((104395301 * h + 512927357) % 2147483647) AS s3
+      FROM hashes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, s0 AS sig FROM sigs
+      UNION ALL SELECT doc_id, 1, s1 FROM sigs
+      UNION ALL SELECT doc_id, 2, s2 FROM sigs
+      UNION ALL SELECT doc_id, 3, s3 FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END)) / 4.0, 2) AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON cand.doc_a = sa.doc_id
+    JOIN sigs sb ON cand.doc_b = sb.doc_id
+    WHERE ((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END)
+         + (CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END)
+         + (CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END)
+         + (CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END)) >= 3
+    """,
+)
+def dd_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle -> 4 affine minhashes -> band-bucket
+    join -> candidate pairs with >=3/4 matching signature components.
+    At scale this is THE dedup plan: the band join shuffles only
+    (band, sig) keys, never all-pairs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    words = (
+        d.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("w"),
+        )
+        .distinct()
+    )
+    h = _spark_word_hash(F.col("w"))
+    sig_cols = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(_MH_COEFS)
+    ]
+    sigs = words.withColumn("h", h).groupBy("doc_id").agg(*sig_cols)
+    # posexplode instead of a 4-way union: one pass over sigs, no subtree
+    # recomputation (union branches would re-run the words+groupBy shuffle
+    # once per band)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array("s0", "s1", "s2", "s3")).alias("band", "sig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(4)
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(matches >= 3)
+        .select(
+            "doc_a", "doc_b", F.round(matches / F.lit(4.0), 2).alias("est_jaccard")
+        )
+    )
+
+
+@query(
+    "dd_simhash",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE doc_id < 100
+    ), hashes AS (
+      SELECT doc_id, {_SQL_WORD_HASH.format(c='w')} AS h FROM words
+    ), bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS weight
+      FROM hashes, (SELECT unnest(generate_series(0, 15)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN weight > 0 THEN 1 << b ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dd_simhash(spark, sf_dir):
+    """SimHash document fingerprints: 16-bit signature from word-hash bit
+    votes (near-dups share low hamming distance; dedup by banding the
+    signature at scale)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    words = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("w"),
+    )
+    hashes = words.withColumn("h", _spark_word_hash(F.col("w")))
+    bits = (
+        hashes.crossJoin(F.broadcast(spark.range(16).select(F.col("id").cast("int").alias("b"))))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("weight")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("weight") > 0, F.expr("shiftleft(1, b)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (ANN: brute-force top-k baseline +
+# LSH-bucketed scale path)
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+# Deterministic hyperplanes for sign-LSH, identical literal arrays in both
+# engines: w(p,d) = ((1 + (p*DIM + d) * 2654435761) % 2000) / 1000 - 1.0
+_PLANES = [
+    [((1 + (p * _EMB_DIM + d) * 2654435761) % 2000) / 1000.0 - 1.0 for d in range(_EMB_DIM)]
+    for p in range(4)
+]
+
+
+def _sql_dot(vec_expr: str, lit: list[float]) -> str:
+    arr = "[" + ", ".join(repr(x) for x in lit) + "]"
+    return (
+        f"list_sum([CAST({vec_expr}[x] AS DOUBLE) * ({arr})[x] "
+        f"for x in generate_series(1, {_EMB_DIM})])"
+    )
+
+
+def _spark_dot_lit(vec_col, lit: list[float]):
+    arr = F.array(*[F.lit(float(x)) for x in lit])
+    return F.aggregate(
+        F.zip_with(vec_col.cast("array<double>"), arr, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, label,
+             list_sum([CAST(embedding[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                       for x in generate_series(1, {_EMB_DIM})])
+             / (sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                               for x in generate_series(1, {_EMB_DIM})]))
+              * sqrt(list_sum([CAST(qv[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                               for x in generate_series(1, {_EMB_DIM})]))) AS cos_raw
+      FROM embeddings, q
+      WHERE vec_id != 0
+    )
+    SELECT vec_id, label, cosine FROM (
+      SELECT vec_id, label, round(cos_raw, 5) AS cosine,
+             row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: JVM-side fold over
+    zip_with (no Python in the loop); query vector broadcast. The scale
+    path is sim_lsh_buckets (prune to one bucket, then exact rerank)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    j = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    emb = F.col("embedding").cast("array<double>")
+    q = F.col("qv").cast("array<double>")
+    cos = dot(emb, q) / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(q, q)))
+    scored = j.select("vec_id", "label", cos.alias("cos_raw"))
+    wn = W.orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") <= 10)
+        .select("vec_id", "label", F.round("cos_raw", 5).alias("cosine"))
+    )
+
+
+@query(
+    "sim_lsh_buckets",
+    f"""
+    SELECT bucket, count(*) AS n_vecs, count(DISTINCT label) AS n_labels
+    FROM (
+      SELECT vec_id, label,
+             (CASE WHEN {_sql_dot('embedding', _PLANES[0])} > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN {_sql_dot('embedding', _PLANES[1])} > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN {_sql_dot('embedding', _PLANES[2])} > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN {_sql_dot('embedding', _PLANES[3])} > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ) GROUP BY bucket
+    """,
+)
+def sim_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing over 4 fixed hyperplanes — the ANN scale path:
+    queries probe one bucket (1/16 of the data) before exact rerank."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    bucket = sum(
+        F.when(_spark_dot_lit(emb, _PLANES[p]) > 0, 1 << p).otherwise(0)
+        for p in range(4)
+    )
+    return (
+        e.select("vec_id", "label", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+@query(
+    "sim_label_centroid_sim",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT label,
+           count(*) AS n,
+           round(avg(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                               for x in generate_series(1, {_EMB_DIM})])), 4) AS avg_dot
+    FROM embeddings, q
+    GROUP BY label
+    """,
+)
+def sim_label_centroid_sim(spark, sf_dir):
+    """Per-label mean dot product with a query vector (cluster-level
+    similarity profile)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    j = e.crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("qv").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        j.select("label", dot.alias("dot"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("dot"), 4).alias("avg_dot"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (language-ID heuristic, quality scoring, token counts,
+# fingerprinting) — SURVEY training-data ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "txt_quality",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(avg(len(regexp_extract_all(text, '[A-Za-z0-9'']+'))), 4) AS avg_tokens,
+           round(avg(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                     / greatest(length(text), 1)), 6) AS avg_punct_ratio,
+           round(avg(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) * 1.0
+                     / greatest(len(regexp_extract_all(text, '[A-Za-z0-9'']+')), 1)), 6)
+             AS avg_stopword_ratio
+    FROM documents GROUP BY lang
+    """,
+)
+def txt_quality(spark, sf_dir):
+    """Quality-scoring features: token count, punctuation ratio, stopword
+    ratio — all JVM-side regexp counting, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), 0))
+    punct = F.size(F.regexp_extract_all("text", F.lit("[.,;:!?]"), 0))
+    stop = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("\\b(the|a|and|of|to|in|is)\\b"), 0)
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+        F.round(F.avg(punct / F.greatest(F.length("text"), F.lit(1))), 6).alias(
+            "avg_punct_ratio"
+        ),
+        F.round(F.avg(stop / F.greatest(toks, F.lit(1))), 6).alias(
+            "avg_stopword_ratio"
+        ),
+    )
+
+
+@query(
+    "txt_langid_confusion",
+    """
+    SELECT lang, guess, count(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                  WHEN len(regexp_extract_all(lower(text), '\\bthe\\b')) >= 3 THEN 'en'
+                  ELSE 'other' END AS guess
+      FROM documents
+    ) GROUP BY lang, guess
+    """,
+)
+def txt_langid_confusion(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic vs the labeled lang column
+    (confusion counts)."""
+    d = _t(spark, sf_dir, "documents")
+    guess = (
+        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit("\\bthe\\b"), 0)) >= 3,
+            "en",
+        )
+        .otherwise("other")
+    )
+    return (
+        d.withColumn("guess", guess)
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "txt_fingerprint",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(lower(regexp_replace(substr(text, 1, 200), '\\s+', ' ', 'g')))) AS n_fp
+    FROM documents GROUP BY source
+    """,
+)
+def txt_fingerprint(spark, sf_dir):
+    """Document fingerprinting: hash of the whitespace-normalized prefix
+    (the cheap pre-filter before shingle-level dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.lower(F.regexp_replace(F.substring("text", 1, 200), "\\s+", " "))
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.countDistinct(fp).alias("n_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extraction-engine rows-only queries (kernels are not SQL-expressible;
+# driver records the weaker rows-only check — correctness is covered by the
+# golden-fixture pytest suite instead)
+# ---------------------------------------------------------------------------
+
+
+def _interleaved_from_documents(spark, sf_dir):
+    """Derive a deterministic interleaved corpus from the harness documents
+    table: each text becomes an html article span (with boilerplate) plus an
+    anchored figure span — ties the harness tables to the real engine."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><nav><a href='/x'>home</a><a href='/y'>about</a></nav>"
+              "<article><h1>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p></article><footer><p>footer text</p></footer></body></html>"),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("html").alias("kind"),
+            html.alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("figure").alias("kind"),
+            F.lit("a figure caption").alias("text"),
+            F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("media_ref"),
+            F.lit(1).cast("int").alias("offset"),
+        ),
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        spans.alias("spans"),
+        F.lit("5").alias("standard"),
+        F.lit("science").alias("subject"),
+        F.lit("1").alias("chapter"),
+        F.lit("html").alias("content_type"),
+    )
+
+
+@query("x1_extract_pipeline")  # rows-only: pandas-UDF kernels, no SQL oracle
+def x1_extract_pipeline(spark, sf_dir):
+    """The flagship plan end-to-end over harness-derived interleaved docs:
+    extract (E1+E3) -> validate (E4) -> routed summary."""
+    from .functions.readability import CriteriaConfig
+    from .plans.pipeline import extract_documents
+
+    docs = _interleaved_from_documents(spark, sf_dir)
+    out = extract_documents(docs, CriteriaConfig(grade_lo=-100.0, grade_hi=100.0))
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_chars",
+        F.col("is_valid").cast("string").alias("route"),
+        F.round(F.col("validation.fk_grade"), 4).alias("fk_grade"),
+    )
+
+
+@query("x2_extract_span_stats")  # rows-only
+def x2_extract_span_stats(spark, sf_dir):
+    """Aggregate span-kind histogram of the extraction output (media
+    conservation observable: one figure per input doc)."""
+    from .operators.extract import extract_spans_udf
+
+    docs = _interleaved_from_documents(spark, sf_dir)
+    out = docs.withColumn("spans", extract_spans_udf("spans"))
+    return (
+        out.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver smoke entry: flagship extraction over sf0.001."""
+    return x1_extract_pipeline(spark, sf_dir)

@@ -16,8 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.readability import CriteriaConfig
-from ..operators.extract import extract_spans_udf, extracted_text
-from ..operators.validate import with_validation
+from ..operators.extract import make_extract_and_score_udf
+from ..operators.validate import is_valid_expr
 
 DEFAULT_BUCKETS = 32
 
@@ -34,15 +34,29 @@ def extract_documents(
     df: DataFrame,
     cfg: CriteriaConfig | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
-    repartition: bool = True,
+    repartition: bool = False,
 ) -> DataFrame:
-    """The flagship plan: documents_interleaved -> extracted + validation."""
+    """The flagship plan: documents_interleaved -> extracted + validation.
+
+    One fused pandas-UDF stage (extract E1-E3 + score E4), zero shuffles by
+    default. ``repartition=True`` adds the hash(doc_id) bucket shuffle —
+    needed only when the input isn't already bucket-partitioned (an Iceberg
+    table bucketed by doc_id arrives pre-partitioned, so the production
+    plan is shuffle-free end to end; resume/lineage address the same
+    buckets either way)."""
+    cfg = cfg or CriteriaConfig()
     out = with_bucket(df, n_buckets)
     if repartition:
         out = out.repartition(n_buckets, "bucket")
-    out = out.withColumn("spans", extract_spans_udf("spans"))
-    out = out.withColumn("n_spans", F.size("spans")).withColumn(
-        "n_chars", F.length(extracted_text("spans"))
+    udf = make_extract_and_score_udf(cfg)
+    out = out.withColumn("_r", udf("spans"))
+    out = (
+        out.withColumn("spans", F.col("_r.spans"))
+        .withColumn("n_spans", F.col("_r.n_spans"))
+        .withColumn("n_chars", F.col("_r.n_chars"))
+        .withColumn("validation", F.col("_r.validation"))
+        .drop("_r")
     )
-    out = with_validation(out, extracted_text("spans"), cfg)
-    return out
+    return out.withColumn(
+        "is_valid", is_valid_expr("validation", relaxed=cfg.relaxed_relevance)
+    )

@@ -1,0 +1,97 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every __spark_entry__ query at sf0.01 (or $SF_DIR) AND its DuckDB
+oracle, compares row count + sorted column names + order-insensitive values.
+Usage: python tools/check_oracle.py [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from ai_textbook_processor_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # kill -0.0 and float repr noise after the queries' own rounding
+        return f"{v + 0.0:.10g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def rowset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main():
+    filters = sys.argv[1:]
+    spark = get_spark(app_name="oracle_check", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sorted(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:160]}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols}")
+            if len(srows) == 0:
+                print(f"  WARN {name}: 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = sorted(d[0] for d in res.description)
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:160]}")
+            failed.append(name)
+            continue
+        problems = []
+        if scols != dcols:
+            problems.append(f"cols spark={scols} duck={dcols}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            a = rowset(srows, sdf.columns)
+            b = rowset(drows, [d[0] for d in res.description])
+            if a != b:
+                diff_a = [r for r in a if r not in set(b)][:3]
+                diff_b = [r for r in b if r not in set(a)][:3]
+                problems.append(f"values spark_only={diff_a} duck_only={diff_b}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"OK   {name}: {len(srows)} rows")
+    print(f"\n{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
