@@ -413,29 +413,46 @@ MEDIA_KINDS = frozenset({"figure", "table_image", "table"})
 _PASSTHROUGH_KINDS = frozenset({"heading", "body", "caption"})
 
 
-def extract_document(spans) -> list[dict]:
-    """Extract one document's span list into ordered output spans.
+def split_media(spans) -> tuple[list, list[tuple[str, str, str, int]]]:
+    """Partition input spans into (non-media spans, media tuples)."""
+    non_media, media = [], []
+    for sp in (spans if spans is not None else []):
+        kind = sp["kind"] or ""
+        if kind in MEDIA_KINDS:
+            media.append(
+                (
+                    kind,
+                    sp["text"] or "",
+                    sp["media_ref"] or "",
+                    int(sp["offset"]) if sp["offset"] is not None else 0,
+                )
+            )
+        else:
+            non_media.append(sp)
+    return non_media, media
 
-    Dispatch mirrors the reference's 5-way content_type branch
+
+def extract_text_spans(
+    spans, media_offsets: list[int]
+) -> list[tuple[str, str, int]]:
+    """Pre-stitch extraction: non-media spans -> ordered (kind, text, src).
+
+    Dispatch mirrors the reference's content_type branch
     (``routes/route.py:81-102``): text passthrough, html -> E1,
-    pdf_block -> E2, figure/table_image -> E3 stitching. Mixed-modality
-    docs are handled by emitting each unit at the source position of its
-    first span; pdf blocks form one layout-ordered unit.
+    pdf_block -> E2. Mixed-modality docs emit each unit at the source
+    position of its first span; all pdf blocks form one layout-ordered
+    unit. ``media_offsets`` feed E2's caption detection.
 
-    Output: list of {kind, text, media_ref, offset} dicts; array order is
-    extraction order; offsets cumulative. Invariant vs goldens: sequence
-    equality on (kind, text, media_ref, order) — BASELINE.json input_hint.
+    This is the chunk-safe core: running it per page-aligned chunk and
+    concatenating in chunk order equals the whole-document run (per-page
+    font histograms + per-fragment HTML scoring), which is what makes
+    salted mega-doc splitting exact (SURVEY §4.3).
     """
-    if spans is None:
-        return []
     pdf_blocks: list[tuple[str, str, int]] = []
     pdf_first: tuple[int, int] | None = None
-    media: list[tuple[str, str, str, int]] = []
-    media_offsets: list[int] = []
-    # units: (sort_key, payload) where payload is list of (kind,text,src)
     units: list[tuple[tuple[int, int], list[tuple[str, str, int]]]] = []
 
-    for idx, sp in enumerate(spans):
+    for idx, sp in enumerate(spans if spans is not None else []):
         kind = sp["kind"] or ""
         text = sp["text"] or ""
         ref = sp["media_ref"] or ""
@@ -444,9 +461,6 @@ def extract_document(spans) -> list[dict]:
             pdf_blocks.append((text, ref, off))
             if pdf_first is None:
                 pdf_first = (off, idx)
-        elif kind in MEDIA_KINDS:
-            media.append((kind, text, ref, off))
-            media_offsets.append(off)
         elif kind == "html":
             extracted = [(k, t, off) for k, t in extract_html_fragment(text)]
             if extracted:
@@ -471,5 +485,65 @@ def extract_document(spans) -> list[dict]:
     text_spans: list[tuple[str, str, int]] = []
     for _key, payload in units:
         text_spans.extend(payload)
+    return text_spans
 
+
+def chunk_document(spans, max_units_per_chunk: int = 128) -> tuple[list, list]:
+    """Split a document's non-media spans into extraction-safe chunks.
+
+    Returns (chunks, media) where chunks is a list of span-lists. Safety
+    invariant (tested): concatenating ``extract_text_spans(chunk)`` over
+    chunks in order equals ``extract_text_spans(whole doc)``, because
+    chunk boundaries respect the kernel's unit structure — html/text spans
+    are independent units, and PDF pages are never split (per-page font
+    histograms and column clustering make pages the atomic PDF unit).
+    Items are ordered exactly like extract_text_spans orders units:
+    non-PDF units by (offset, input_idx); all PDF pages contiguously at the
+    first PDF span's position, ascending by page.
+
+    This is the mega-document salting primitive (SURVEY §4.3): chunks of
+    one skewed doc extract independently on different executors and
+    reassemble with stitch_media afterwards.
+    """
+    non_media, media = split_media(spans)
+
+    pdf_by_page: dict[int, list] = {}
+    pdf_key: tuple[int, int] | None = None
+    items: list[tuple[tuple, list]] = []
+    for idx, sp in enumerate(non_media):
+        if (sp["kind"] or "") == "pdf_block":
+            page, _c, _y, _x, _f = parse_layout_token(sp["media_ref"] or "")
+            pdf_by_page.setdefault(page, []).append(sp)
+            if pdf_key is None:
+                off = int(sp["offset"]) if sp["offset"] is not None else 0
+                pdf_key = (off, idx)
+        else:
+            off = int(sp["offset"]) if sp["offset"] is not None else 0
+            items.append(((off, idx, -1), [sp]))
+    if pdf_key is not None:
+        for page in sorted(pdf_by_page):
+            items.append(((pdf_key[0], pdf_key[1], page), pdf_by_page[page]))
+    items.sort(key=lambda it: it[0])
+
+    chunks: list[list] = []
+    for i in range(0, len(items), max_units_per_chunk):
+        chunk = [sp for _k, sps in items[i : i + max_units_per_chunk] for sp in sps]
+        chunks.append(chunk)
+    if not chunks:
+        chunks = [[]]
+    return chunks, media
+
+
+def extract_document(spans) -> list[dict]:
+    """Extract one document's span list into ordered output spans.
+
+    Output: list of {kind, text, media_ref, offset} dicts; array order is
+    extraction order; offsets cumulative. Invariant vs goldens: sequence
+    equality on (kind, text, media_ref, order) — BASELINE.json input_hint.
+    """
+    if spans is None:
+        return []
+    non_media, media = split_media(spans)
+    media_offsets = [m[3] for m in media]
+    text_spans = extract_text_spans(non_media, media_offsets)
     return stitch_media(text_spans, media)

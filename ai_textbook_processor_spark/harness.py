@@ -1134,3 +1134,216 @@ def x2_extract_span_stats(spark, sf_dir):
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke entry: flagship extraction over sf0.001."""
     return x1_extract_pipeline(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Set ops / multi-dim aggregates / pivot / extra join shapes (§2.9, §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_ops",
+    """
+    SELECT 'except' AS op, count(*) AS n FROM (
+      SELECT doc_id FROM documents WHERE n_chars >= 200
+      EXCEPT SELECT doc_id FROM documents WHERE lang = 'en'
+    )
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (
+      SELECT doc_id FROM documents WHERE n_chars >= 200
+      INTERSECT SELECT doc_id FROM documents WHERE lang = 'en'
+    )
+    UNION ALL
+    SELECT 'union_distinct', count(*) FROM (
+      SELECT doc_id FROM documents WHERE n_chars >= 200
+      UNION SELECT doc_id FROM documents WHERE lang = 'en'
+    )
+    """,
+)
+def set_ops(spark, sf_dir):
+    """EXCEPT/INTERSECT/UNION — the resume-skip and split-reunion set
+    semantics (SURVEY §2.9)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("n_chars") >= 200).select("doc_id")
+    b = d.where(F.col("lang") == "en").select("doc_id")
+    rows = [
+        ("except", a.exceptAll(b).distinct()),
+        ("intersect", a.intersect(b)),
+        ("union_distinct", a.union(b).distinct()),
+    ]
+    out = None
+    for op, df in rows:
+        piece = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = piece if out is None else out.unionAll(piece)
+    return out
+
+
+@query(
+    "rollup_agg",
+    """
+    SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+           count(*) AS n, sum(n_chars) AS chars
+    FROM documents WHERE source IN ('src0','src1','src2')
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    """ROLLUP for metrics hierarchies (lineage by run -> partition)."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n",
+            "chars",
+        )
+    )
+
+
+@query(
+    "cube_agg",
+    """
+    SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+@query(
+    "pivot_langs",
+    """
+    SELECT source,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
+           sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh
+    FROM documents GROUP BY source
+    """,
+)
+def pivot_langs(spark, sf_dir):
+    """Pivot (lang columns per source) — expressed with .pivot() in Spark,
+    CASE aggregation in the oracle (same result grid)."""
+    d = _t(spark, sf_dir, "documents")
+    p = (
+        d.groupBy("source")
+        .pivot("lang", ["en", "de", "zh"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["en", "de", "zh"])
+    )
+    return p.select(
+        "source",
+        F.col("en").cast("long").alias("en"),
+        F.col("de").cast("long").alias("de"),
+        F.col("zh").cast("long").alias("zh"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, revenue, prio FROM (
+      SELECT l_orderkey AS o_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             min(o_orderpriority) AS prio,
+             row_number() OVER (
+               ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+             ) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey
+    ) WHERE rn <= 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join -> agg -> top-k (deterministic tiebreak)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    g = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(rev.alias("rev_raw"), F.min("o_orderpriority").alias("prio"))
+    )
+    wn = W.orderBy(F.col("rev_raw").desc(), "l_orderkey")
+    return (
+        g.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") <= 10)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.round("rev_raw", 2).alias("revenue"),
+            "prio",
+        )
+    )
+
+
+@query(
+    "pctile_stats",
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 2) AS p50,
+           round(quantile_cont(n_chars, 0.9), 2) AS p90,
+           max(n_chars) AS mx
+    FROM documents GROUP BY lang
+    """,
+)
+def pctile_stats(spark, sf_dir):
+    """Exact percentiles (Arrow-batch sizing / skew-threshold estimation
+    use these; approx_percentile is the at-scale variant)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90"),
+        F.max("n_chars").alias("mx"),
+    )
+
+
+@query(
+    "scalar_functions",
+    """
+    SELECT doc_id,
+           upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) AS lang_title,
+           length(trim(text)) AS trimmed_len,
+           starts_with(text, 'key') AS starts_key,
+           replace(lang, 'e', 'E') AS lang_repl,
+           split_part(source, 'rc', 2) AS src_num,
+           n_chars % 7 AS mod7,
+           CAST(floor(sqrt(n_chars)) AS BIGINT) AS sq,
+           md5(lang) AS lang_md5
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def scalar_functions(spark, sf_dir):
+    """Scalar string/math battery (SURVEY §2.9 function inventory)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.upper(F.substring("lang", 1, 1)),
+            F.lower(F.expr("substring(lang, 2)")),
+        ).alias("lang_title"),
+        F.length(F.trim("text")).alias("trimmed_len"),
+        F.col("text").startswith("key").alias("starts_key"),
+        F.regexp_replace("lang", "e", "E").alias("lang_repl"),
+        F.split_part("source", F.lit("rc"), F.lit(2)).alias("src_num"),
+        (F.col("n_chars") % 7).alias("mod7"),
+        F.floor(F.sqrt("n_chars")).cast("bigint").alias("sq"),
+        F.md5("lang").alias("lang_md5"),
+    )

@@ -1,0 +1,155 @@
+"""Multimodal asset operators: opaque binary columns + typed metadata.
+
+Reference analog (§2.8): the service resizes images aspect-preserving to
+fit 800x800 LANCZOS (``utils/utility.py:35-48``), flattens alpha on white
+(``:50-58``), JPEG-q85 base64-encodes (``:60-64``), and rasterizes PDF
+pages at dpi=150/q70 (``routes/route.py:118-125``). Here media are rows of
+an asset table ``(asset_id, content binary, media_type, width, height)``
+processed with ``mapInPandas`` over Arrow batches.
+
+The actual JPEG/PNG codec is NOT available in this container, so the
+decode step is split:
+
+* REAL: Spark plumbing (schema, batch iteration, partitioning), header
+  parsing of the deterministic in-repo asset format, aspect-preserving
+  resize arithmetic (the reference's exact max-side formula), base64
+  encoding, byte-level feature extraction (frame sampling over the payload).
+* STUBBED: pixel decoding. ``decode_pixels`` raises NotImplementedError
+  unless the payload is the in-repo synthetic format (magic b'ATPS'), whose
+  "pixels" are a deterministic xorshift byte stream — enough to exercise
+  every batch path end to end in tests.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+IMAGE_TARGET_SIZE = 800  # reference config/settings.py:22-25
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+_MAGIC = b"ATPS"
+
+
+def pack_asset(asset_id: str, width: int, height: int, channels: int = 3) -> bytes:
+    """Deterministic synthetic asset payload: 12-byte header + xorshift
+    pseudo-pixel stream seeded by the asset id (no randomness, no codecs)."""
+    seed = int.from_bytes(hashlib.md5(asset_id.encode()).digest()[:4], "big") or 1
+    n = min(width * height * channels, 4096)  # capped sample, not full frame
+    out = bytearray(_MAGIC + struct.pack(">HHB", width, height, channels))
+    x = seed
+    for _ in range(n):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        out.append(x & 0xFF)
+    return bytes(out)
+
+
+def parse_header(content: bytes) -> tuple[int, int, int]:
+    """REAL decode of the synthetic header; raises on foreign formats the
+    way the production path would hand off to a codec library."""
+    if content is None or len(content) < 9 or content[:4] != _MAGIC:
+        raise NotImplementedError(
+            "pixel codecs (JPEG/PNG) not available in this environment; "
+            "only the in-repo synthetic ATPS format is decodable"
+        )
+    w, h, c = struct.unpack(">HHB", content[4:9])
+    return w, h, c
+
+
+def fit_within(width: int, height: int, target: int = IMAGE_TARGET_SIZE) -> tuple[int, int]:
+    """The reference's aspect-preserving resize arithmetic
+    (utils/utility.py:37-47): scale so max side == target, never upscale."""
+    if width <= target and height <= target:
+        return width, height
+    if width >= height:
+        return target, max(1, round(height * target / width))
+    return max(1, round(width * target / height)), target
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("byte_len", T.IntegerType(), True),
+        T.StructField("sample_b64", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+_FRAME_SAMPLES = 8
+_FEATURE_DIM = 16
+
+
+def decode_features_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: header decode -> resize math -> frame-sampled
+    byte features -> base64 sample. Failures land in the ``error`` column
+    (quarantine channel), never raise out of the batch."""
+    for pdf in batches:
+        rows = []
+        for rec in pdf.itertuples(index=False):
+            content = rec.content
+            base = {
+                "asset_id": rec.asset_id,
+                "media_type": rec.media_type,
+                "width": None, "height": None,
+                "out_width": None, "out_height": None,
+                "byte_len": len(content) if content is not None else 0,
+                "sample_b64": None, "feature": None, "error": None,
+            }
+            try:
+                w, h, c = parse_header(content)
+                ow, oh = fit_within(w, h)
+                payload = content[9:]
+                # frame sampling: _FRAME_SAMPLES evenly spaced byte windows
+                step = max(1, len(payload) // _FRAME_SAMPLES)
+                frames = [payload[i : i + 16] for i in range(0, len(payload), step)][
+                    :_FRAME_SAMPLES
+                ]
+                feat = []
+                for i in range(_FEATURE_DIM):
+                    frame = frames[i % len(frames)] if frames else b""
+                    feat.append(
+                        (sum(frame) / (255.0 * max(len(frame), 1))) if frame else 0.0
+                    )
+                base.update(
+                    {
+                        "width": w, "height": h,
+                        "out_width": ow, "out_height": oh,
+                        "sample_b64": base64.b64encode(content[:24]).decode(),
+                        "feature": feat,
+                    }
+                )
+            except NotImplementedError as e:
+                base["error"] = str(e)
+            rows.append(base)
+        yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+
+def extract_asset_features(assets: DataFrame) -> DataFrame:
+    """The multimodal pipeline stage: narrow mapInPandas, no shuffle; at
+    scale the asset table is bucket-partitioned by asset_id like documents."""
+    return assets.mapInPandas(decode_features_batches, schema=FEATURE_SCHEMA)

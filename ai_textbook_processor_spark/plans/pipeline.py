@@ -45,7 +45,9 @@ def extract_documents(
     plan is shuffle-free end to end; resume/lineage address the same
     buckets either way)."""
     cfg = cfg or CriteriaConfig()
-    out = with_bucket(df, n_buckets)
+    # respect a caller-assigned bucket column (the resume runner buckets
+    # with its own modulus before filtering groups)
+    out = df if "bucket" in df.columns else with_bucket(df, n_buckets)
     if repartition:
         out = out.repartition(n_buckets, "bucket")
     udf = make_extract_and_score_udf(cfg)

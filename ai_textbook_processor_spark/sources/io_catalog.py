@@ -1,0 +1,124 @@
+"""Table catalog with Iceberg-style commit semantics (SURVEY.md §7).
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg runtime
+jar, so the catalog exposes one table API with two backends:
+
+* ``LocalTable`` — parquet files + a JSON manifest per commit. Commits are
+  atomic (manifest written to a temp file then ``os.replace``-renamed) and
+  **idempotent by commit id**: re-appending an already-committed id is a
+  no-op, which is what makes write-then-log checkpoint-resume exactly-once
+  (a crash between the data commit and the lineage append just re-runs the
+  commit; the data dedupes on its id). Readers list manifests and read only
+  manifest-referenced files — orphan part files from crashed writes are
+  invisible.
+* ``IcebergTable`` — thin wrapper over the native ``writeTo().append()`` /
+  ``spark.read.table`` API, used when an Iceberg catalog is configured on
+  the session (the production path; same call sites).
+
+Reference analog: ChromaDB persistent collection add + read-back verify
+(``utils/chroma_utility.py:9-32``); the manifest list is our snapshot log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LocalTable:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.data_dir = os.path.join(self.dir, "data")
+        self.manifest_dir = os.path.join(self.dir, "_manifest")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- commit log ---------------------------------------------------------
+
+    def manifests(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.manifest_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def committed_ids(self) -> set[str]:
+        return {m["commit_id"] for m in self.manifests()}
+
+    def _manifest_path(self, commit_id: str) -> str:
+        return os.path.join(self.manifest_dir, f"{commit_id}.json")
+
+    # -- write --------------------------------------------------------------
+
+    def append(self, df: DataFrame, commit_id: str | None = None,
+               meta: dict | None = None) -> str:
+        """Atomic, idempotent append. Returns the commit id."""
+        commit_id = commit_id or uuid.uuid4().hex[:12]
+        if os.path.exists(self._manifest_path(commit_id)):
+            return commit_id  # already committed: exactly-once no-op
+
+        staging = os.path.join(self.dir, f"_staging-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(staging)
+        files = []
+        for fn in os.listdir(staging):
+            if fn.endswith(".parquet"):
+                dst = f"{commit_id}-{fn}"
+                shutil.move(os.path.join(staging, fn), os.path.join(self.data_dir, dst))
+                files.append(dst)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        manifest = {"commit_id": commit_id, "files": sorted(files), "meta": meta or {}}
+        tmp = self._manifest_path(commit_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(commit_id))  # the atomic commit
+        return commit_id
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        paths = [
+            os.path.join(self.data_dir, fn)
+            for m in self.manifests()
+            for fn in m["files"]
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+
+class IcebergTable:
+    """Native path: same API over an Iceberg catalog table (requires the
+    iceberg-spark-runtime jar on the session; not present in this sandbox —
+    exercised only through the shared call sites)."""
+
+    def __init__(self, spark: SparkSession, identifier: str):
+        self.spark = spark
+        self.identifier = identifier
+
+    def append(self, df: DataFrame, commit_id: str | None = None,
+               meta: dict | None = None) -> str:
+        df.writeTo(self.identifier).append()
+        snap = (
+            self.spark.sql(
+                f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+        )
+        return str(snap[0][0]) if snap else (commit_id or "")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.table(self.identifier)
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+
+    def table(self, name: str) -> LocalTable:
+        return LocalTable(self.root, name)

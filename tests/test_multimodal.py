@@ -1,0 +1,64 @@
+"""Multimodal asset plumbing: schema, batch iteration, resize math,
+stubbed-decode error channel."""
+
+import pytest
+
+from ai_textbook_processor_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    extract_asset_features,
+    fit_within,
+    pack_asset,
+    parse_header,
+)
+
+
+class TestResizeMath:
+    def test_no_upscale(self):
+        assert fit_within(400, 300) == (400, 300)
+
+    def test_landscape(self):
+        assert fit_within(1600, 900) == (800, 450)
+
+    def test_portrait(self):
+        assert fit_within(900, 1600) == (450, 800)
+
+    def test_extreme_aspect_min_1(self):
+        assert fit_within(8000, 2) == (800, 1)
+
+
+class TestSyntheticFormat:
+    def test_roundtrip(self):
+        b = pack_asset("img-7", 1024, 768)
+        assert parse_header(b) == (1024, 768, 3)
+        assert pack_asset("img-7", 1024, 768) == b  # deterministic
+
+    def test_foreign_format_raises(self):
+        with pytest.raises(NotImplementedError):
+            parse_header(b"\x89PNG\r\n\x1a\n" + b"0" * 64)
+
+
+def test_spark_feature_extraction(spark):
+    rows = [
+        ("img-0", pack_asset("img-0", 1600, 900), "image/synthetic", 1600, 900),
+        ("img-1", pack_asset("img-1", 320, 200), "image/synthetic", 320, 200),
+        ("bad-0", b"\xff\xd8\xff\xe0 not decodable here", "image/jpeg", None, None),
+        ("nil-0", None, "image/jpeg", None, None),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in extract_asset_features(assets).collect()}
+    assert len(out) == 4
+    ok = out["img-0"]
+    assert (ok["width"], ok["height"]) == (1600, 900)
+    assert (ok["out_width"], ok["out_height"]) == (800, 450)
+    assert len(ok["feature"]) == 16 and all(0.0 <= v <= 1.0 for v in ok["feature"])
+    assert ok["sample_b64"] and ok["error"] is None
+    assert out["img-1"]["out_width"] == 320  # no upscale
+    assert out["bad-0"]["error"] and "codec" in out["bad-0"]["error"]
+    assert out["nil-0"]["error"] is not None
+
+    # determinism across partitionings
+    out2 = {
+        r["asset_id"]: r["feature"]
+        for r in extract_asset_features(assets.repartition(4)).collect()
+    }
+    assert out2["img-0"] == ok["feature"]

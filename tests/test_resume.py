@@ -1,0 +1,91 @@
+"""Checkpoint-resume test (SURVEY §5.2.4 / FIXTURES.md §4): kill mid-run
+after k of n commits, restart, assert exactly the uncommitted buckets are
+reprocessed and the final output equals an uninterrupted run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_textbook_processor_spark.corpus import corpus_df
+from ai_textbook_processor_spark.plans.lineage import (
+    SimulatedFailure,
+    committed_buckets,
+    run_extraction,
+)
+from ai_textbook_processor_spark.sources.io_catalog import Catalog
+
+N_DOCS = 96
+N_BUCKETS = 8
+PER_COMMIT = 2  # -> 4 commit groups
+
+
+def spans_inventory(df):
+    return sorted(
+        (r["doc_id"], tuple((s.kind, s.text, s.media_ref) for s in r["spans"]))
+        for r in df.select("doc_id", "spans").collect()
+    )
+
+
+def test_kill_and_resume_equals_uninterrupted(spark, tmp_path):
+    docs = corpus_df(spark, N_DOCS, seed=42)
+
+    # uninterrupted reference run
+    full_root = str(tmp_path / "full")
+    summary = run_extraction(
+        spark, docs, full_root, "run-a", n_buckets=N_BUCKETS,
+        buckets_per_commit=PER_COMMIT,
+    )
+    assert summary["docs_total"] == N_DOCS
+    assert summary["commits"] == 4
+
+    # killed run: 2 of 4 commits land
+    part_root = str(tmp_path / "part")
+    with pytest.raises(SimulatedFailure):
+        run_extraction(
+            spark, docs, part_root, "run-b", n_buckets=N_BUCKETS,
+            buckets_per_commit=PER_COMMIT, fail_after_commits=2,
+        )
+    cat = Catalog(part_root)
+    done = committed_buckets(spark, cat, "run-b")
+    assert len(done) == 2 * PER_COMMIT  # k groups committed
+
+    # restart: exactly n-k groups reprocessed
+    summary2 = run_extraction(
+        spark, docs, part_root, "run-b", n_buckets=N_BUCKETS,
+        buckets_per_commit=PER_COMMIT,
+    )
+    assert summary2["buckets_resumed"] == 2 * PER_COMMIT
+    assert summary2["buckets_processed"] == N_BUCKETS - 2 * PER_COMMIT
+    assert summary2["commits"] == 2
+    assert summary2["docs_total"] == N_DOCS
+
+    # output equality vs the uninterrupted run
+    a = spans_inventory(Catalog(full_root).table("extracted").read(spark))
+    b = spans_inventory(cat.table("extracted").read(spark))
+    assert a == b
+
+    # lineage accounting: every bucket committed exactly once, doc counts sum
+    lin = cat.table("lineage").read(spark)
+    per_bucket = lin.groupBy("partition_id").agg(F.count("*").alias("c")).collect()
+    assert all(r["c"] == 1 for r in per_bucket)
+    assert lin.agg(F.sum("doc_count")).collect()[0][0] == N_DOCS
+
+
+def test_rerun_after_completion_is_noop(spark, tmp_path):
+    docs = corpus_df(spark, 24, seed=7)
+    root = str(tmp_path / "t")
+    s1 = run_extraction(spark, docs, root, "r", n_buckets=4, buckets_per_commit=2)
+    s2 = run_extraction(spark, docs, root, "r", n_buckets=4, buckets_per_commit=2)
+    assert s1["docs_total"] == 24
+    assert s2["buckets_processed"] == 0 and s2["commits"] == 0
+    assert s2["docs_total"] == 24  # no duplicate rows appended
+
+
+def test_idempotent_commit_id(spark, tmp_path):
+    """Crash between data commit and lineage append: re-append same id no-ops."""
+    docs = corpus_df(spark, 12, seed=3)
+    cat = Catalog(str(tmp_path / "c"))
+    tbl = cat.table("extracted")
+    tbl.append(docs, commit_id="fixed-id")
+    tbl.append(docs, commit_id="fixed-id")  # duplicate commit
+    assert tbl.read(spark).count() == 12
+    assert len(tbl.manifests()) == 1
