@@ -1347,3 +1347,189 @@ def scalar_functions(spark, sf_dir):
         F.floor(F.sqrt("n_chars")).cast("bigint").alias("sq"),
         F.md5("lang").alias("lang_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of / range joins (J1 — the media-stitch semantic as a relational op)
+# and embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_asof_join",
+    """
+    SELECT user_id, n_purchases, n_with_prior_view FROM (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+             count(*) FILTER (
+               WHERE event_type = 'purchase' AND last_view_ts IS NOT NULL
+             ) AS n_with_prior_view
+      FROM (
+        SELECT user_id, event_type,
+               max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_view_ts
+        FROM events WHERE user_id < 40
+      ) GROUP BY user_id
+    ) WHERE n_purchases > 0
+    """,
+)
+def j1_asof_join(spark, sf_dir):
+    """As-of join (nearest prior event), the relational form of media-span
+    stitching (E3: anchor to the last text span with offset <= media
+    offset). Implemented shuffle-light as a running max window instead of
+    a join — the same trick the stitch kernel uses in-UDF."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    g = (
+        e.withColumn("last_view_ts", last_view)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+            F.count(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("last_view_ts").isNotNull(),
+                    1,
+                )
+            ).alias("n_with_prior_view"),
+        )
+    )
+    return g.where(F.col("n_purchases") > 0).select(
+        "user_id", "n_purchases", "n_with_prior_view"
+    )
+
+
+@query(
+    "j5_range_join_bucketed",
+    """
+    SELECT p.user_id, count(*) AS n_pairs
+    FROM (SELECT user_id, ts, date_part('epoch', ts) AS sec FROM events
+          WHERE event_type = 'purchase' AND user_id < 25) p
+    JOIN (SELECT user_id, ts, date_part('epoch', ts) AS sec FROM events
+          WHERE event_type = 'view' AND user_id < 25) v
+      ON p.user_id = v.user_id
+     AND CAST(floor(p.sec / 3600) AS BIGINT) - CAST(floor(v.sec / 3600) AS BIGINT) IN (0, 1)
+     AND v.sec <= p.sec AND p.sec - v.sec <= 3600
+    GROUP BY p.user_id
+    """,
+)
+def j5_range_join_bucketed(spark, sf_dir):
+    """Range join (view within 1h before purchase) via the bucketize+
+    equi-join+filter pattern — Spark has no native range join; bucketing
+    the range key turns O(n^2) into an equi-join the planner can hash."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 25)
+    sec = F.unix_timestamp("ts")
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("psec"))
+        .withColumn("pb", F.floor(F.col("psec") / 3600))
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("vuser"), sec.alias("vsec"))
+        .withColumn("vb", F.floor(F.col("vsec") / 3600))
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("vuser"))
+        & ((F.col("pb") - F.col("vb")).isin(0, 1))
+        & (F.col("vsec") <= F.col("psec"))
+        & (F.col("psec") - F.col("vsec") <= 3600),
+    )
+    return joined.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "p7_relaxed_gate",
+    """
+    SELECT CASE WHEN lang IN ('en', 'es') THEN 'accept' ELSE 'reject' END AS gate,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def p7_relaxed_gate(spark, sf_dir):
+    """Relaxed relevance gate (routes/route.py:239): isin-list acceptance."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "gate",
+            F.when(F.col("lang").isin("en", "es"), "accept").otherwise("reject"),
+        )
+        .groupBy("gate")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "dd_embed_neardup",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS nrm,
+             (CASE WHEN {_sql_dot('embedding', _PLANES[0])} > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN {_sql_dot('embedding', _PLANES[1])} > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN {_sql_dot('embedding', _PLANES[2])} > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN {_sql_dot('embedding', _PLANES[3])} > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings WHERE vec_id < 250
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(b.embedding[x] AS DOUBLE)
+                           for x in generate_series(1, {_EMB_DIM})])
+                 / (a.nrm * b.nrm), 5) AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(b.embedding[x] AS DOUBLE)
+                    for x in generate_series(1, {_EMB_DIM})])
+          / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def dd_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH-bucket pruned: candidate
+    pairs only within a sign-LSH bucket (1/16 of all pairs at scale), then
+    exact cosine verification — the embedding analog of minhash-LSH."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 250)
+    emb = F.col("embedding").cast("array<double>")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    bucket = sum(
+        F.when(_spark_dot_lit(F.col("embedding"), _PLANES[p]) > 0, 1 << p).otherwise(0)
+        for p in range(4)
+    )
+    v = e.select(
+        "vec_id",
+        emb.alias("emb"),
+        F.sqrt(dot(emb, emb)).alias("nrm"),
+        bucket.alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 5).alias("cosine"),
+        )
+    )

@@ -39,7 +39,7 @@ HEADLINE = [
     "txt_quality",
 ]
 
-DOCS_PER_SF = 120_000  # sf0.1 -> 12k docs (mega docs every 4k)
+DOCS_PER_SF = 480_000  # sf0.1 -> 48k docs (mega docs every 4k)
 
 
 def _noop(df) -> None:
