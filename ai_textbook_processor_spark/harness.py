@@ -155,14 +155,16 @@ def p3_substring_truncation(spark, sf_dir):
     """Validation-prefix truncation (agents/nodes.py:136)."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 25)
     p = F.substring("text", 1, 100)
-    return d.select("doc_id", p.alias("prefix"), F.length(p).alias("prefix_len"))
+    return d.select(
+        "doc_id", p.alias("prefix"), F.length(p).cast("long").alias("prefix_len")
+    )
 
 
 @query(
     "p5_error_prefix_gate",
     """
     SELECT CASE WHEN starts_with(text, 'key') THEN 'quarantine' ELSE 'ok' END AS channel,
-           count(*) AS n, sum(n_chars) AS total_chars
+           count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1
     """,
 )
@@ -228,7 +230,7 @@ def p8_split_counts(spark, sf_dir):
 @query(
     "j2_semi_join_lookup",
     """
-    SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE doc_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
     GROUP BY lang
@@ -254,7 +256,7 @@ def j2_semi_join_lookup(spark, sf_dir):
 @query(
     "j3_anti_join_resume",
     """
-    SELECT count(*) AS n_todo, sum(n_chars) AS todo_chars
+    SELECT count(*) AS n_todo, CAST(sum(n_chars) AS BIGINT) AS todo_chars
     FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
     """,
@@ -320,7 +322,7 @@ def w1_reading_order_topk(spark, sf_dir):
     return (
         d.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .select("lang", "doc_id", "rn")
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -328,9 +330,9 @@ def w1_reading_order_topk(spark, sf_dir):
     "w2_running_offset",
     """
     SELECT doc_id, source,
-           coalesce(sum(n_chars) OVER (
+           CAST(coalesce(sum(n_chars) OVER (
              PARTITION BY source ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
     FROM documents WHERE source IN ('src0', 'src1')
     """,
 )
@@ -376,7 +378,7 @@ def w3_modal_rank(spark, sf_dir):
     return (
         counts.withColumn("rnk", F.rank().over(w))
         .where(F.col("rnk") <= 2)
-        .select("lang", "bucket", "n", "rnk")
+        .select("lang", "bucket", "n", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -420,8 +422,8 @@ def v1_readability_sql(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_sents.alias("n_sents"),
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sents"),
         fk.alias("fk_grade"),
     )
 
@@ -505,8 +507,8 @@ def ev_hourly_rollup(spark, sf_dir):
     _utc(spark)
     e = _t(spark, sf_dir, "events").where(F.col("ts") < "2024-01-03")
     return e.groupBy(
-        F.dayofmonth("ts").alias("d"),
-        F.hour("ts").alias("h"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
         "event_type",
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
 
@@ -514,7 +516,7 @@ def ev_hourly_rollup(spark, sf_dir):
 @query(
     "ev_sessionize",
     """
-    SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events FROM (
+    SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events FROM (
       SELECT user_id, session_id, count(*) AS n_ev FROM (
         SELECT user_id,
                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
@@ -787,7 +789,7 @@ def dd_minhash_lsh(spark, sf_dir):
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           sum(CASE WHEN weight > 0 THEN 1 << b ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN weight > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )
@@ -1182,7 +1184,7 @@ def set_ops(spark, sf_dir):
     "rollup_agg",
     """
     SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-           count(*) AS n, sum(n_chars) AS chars
+           count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents WHERE source IN ('src0','src1','src2')
     GROUP BY ROLLUP (lang, source)
     """,
@@ -1229,9 +1231,9 @@ def cube_agg(spark, sf_dir):
     "pivot_langs",
     """
     SELECT source,
-           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
-           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
-           sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+           CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+           CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
     FROM documents GROUP BY source
     """,
 )
@@ -1339,7 +1341,7 @@ def scalar_functions(spark, sf_dir):
             F.upper(F.substring("lang", 1, 1)),
             F.lower(F.expr("substring(lang, 2)")),
         ).alias("lang_title"),
-        F.length(F.trim("text")).alias("trimmed_len"),
+        F.length(F.trim("text")).cast("long").alias("trimmed_len"),
         F.col("text").startswith("key").alias("starts_key"),
         F.regexp_replace("lang", "e", "E").alias("lang_repl"),
         F.split_part("source", F.lit("rc"), F.lit(2)).alias("src_num"),
