@@ -1535,3 +1535,90 @@ def dd_embed_neardup(spark, sf_dir):
             F.round(cos, 5).alias("cosine"),
         )
     )
+
+
+@query(
+    "sim_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cemb,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS cnrm
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ), vecs AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS nrm
+      FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, label, embedding, nrm, cid FROM (
+        SELECT v.vec_id, v.label, v.embedding, v.nrm, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_sum([CAST(v.embedding[x] AS DOUBLE) * CAST(c.cemb[x] AS DOUBLE)
+                                    for x in generate_series(1, {_EMB_DIM})])
+                          / (v.nrm * c.cnrm) DESC, c.cid
+               ) AS rnk
+        FROM vecs v CROSS JOIN cents c
+      ) WHERE rnk = 1
+    ), q AS (
+      SELECT embedding AS qv, nrm AS qnrm, cid AS qcid FROM assigned WHERE vec_id = 0
+    )
+    SELECT vec_id, label, cosine FROM (
+      SELECT a.vec_id, a.label,
+             round(list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                             for x in generate_series(1, {_EMB_DIM})]) / (a.nrm * qnrm), 5) AS cosine,
+             row_number() OVER (
+               ORDER BY list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                                  for x in generate_series(1, {_EMB_DIM})]) / (a.nrm * qnrm) DESC,
+                        a.vec_id
+             ) AS rn
+      FROM assigned a, q
+      WHERE a.cid = q.qcid AND a.vec_id != 0
+    ) WHERE rn <= 5
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse quantization to 4 fixed centroids (broadcast),
+    probe only the query's cell, exact rerank inside it. At 10^12 scale the
+    cell assignment is the partition key — a query touches 1/K of the data
+    and the centroid table stays broadcast-small."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    cents = e.where(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("cid"),
+        emb.alias("cemb"),
+        F.sqrt(dot(emb, emb)).alias("cnrm"),
+    )
+    vecs = e.select(
+        "vec_id", "label", emb.alias("emb"), F.sqrt(dot(emb, emb)).alias("nrm")
+    )
+    crossed = vecs.crossJoin(F.broadcast(cents))
+    sim_c = dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("simc").desc(), "cid")
+    assigned = (
+        crossed.withColumn("simc", sim_c)
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "label", "emb", "nrm", "cid")
+    )
+    q = assigned.where(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qv"), F.col("nrm").alias("qnrm"), F.col("cid").alias("qcid")
+    )
+    cand = assigned.where(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("cid") == F.col("qcid")
+    )
+    cos = dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qnrm"))
+    wn = W.orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        cand.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") <= 5)
+        .select("vec_id", "label", F.round("cos_raw", 5).alias("cosine"))
+    )
