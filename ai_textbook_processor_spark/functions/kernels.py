@@ -417,6 +417,8 @@ def split_media(spans) -> tuple[list, list[tuple[str, str, str, int]]]:
     """Partition input spans into (non-media spans, media tuples)."""
     non_media, media = [], []
     for sp in (spans if spans is not None else []):
+        if sp is None:
+            continue
         kind = sp["kind"] or ""
         if kind in MEDIA_KINDS:
             media.append(
@@ -453,6 +455,8 @@ def extract_text_spans(
     units: list[tuple[tuple[int, int], list[tuple[str, str, int]]]] = []
 
     for idx, sp in enumerate(spans if spans is not None else []):
+        if sp is None:
+            continue
         kind = sp["kind"] or ""
         text = sp["text"] or ""
         ref = sp["media_ref"] or ""

@@ -1,0 +1,93 @@
+"""Text-analysis column builders (training-data pipeline ops).
+
+All JVM-side Column expressions (regexp counting, hashing) — no Python in
+the hot path, so they compose into any plan with full codegen. The harness
+queries (txt_*, dd_*) are built from these; DuckDB oracles verify the
+semantics value-for-value at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_RE = "[A-Za-z0-9']+"
+PUNCT_RE = "[.,;:!?]"
+STOPWORD_RE = "\\b(the|a|and|of|to|in|is)\\b"
+CJK_RE = "[\\u4e00-\\u9fff]"
+
+_MH_P = (1 << 31) - 1
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace/word-regex token count (BPE-ish boundary regex)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(WORD_RE), 0)).cast("long")
+
+
+def punct_ratio(col: str | Column) -> Column:
+    c = _c(col)
+    return F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0)) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    c = _c(col)
+    stops = F.size(F.regexp_extract_all(F.lower(c), F.lit(STOPWORD_RE), 0))
+    return stops / F.greatest(token_count(c), F.lit(1))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite quality heuristic in [0, 1]: long enough, punctuated,
+    stopword-bearing (language-like) text scores high; word salad and
+    boilerplate score low."""
+    c = _c(col)
+    len_term = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.least(punct_ratio(c) * 20.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    return F.round((len_term + punct_term + stop_term) / 3.0, 6)
+
+
+def lang_guess(col: str | Column) -> Column:
+    """n-gram/stopword language-ID heuristic (CJK chars -> zh; English
+    stopword density -> en; else other)."""
+    c = _c(col)
+    the_count = F.size(F.regexp_extract_all(F.lower(c), F.lit("\\bthe\\b"), 0))
+    return (
+        F.when(c.rlike(CJK_RE), "zh")
+        .when(the_count >= 3, "en")
+        .otherwise("other")
+    )
+
+
+def fingerprint(col: str | Column, prefix: int = 200) -> Column:
+    """Whitespace-normalized prefix hash — the cheap pre-filter before
+    shingle-level dedup."""
+    c = _c(col)
+    return F.md5(F.lower(F.regexp_replace(F.substring(c, 1, prefix), "\\s+", " ")))
+
+
+def word_hash(col: str | Column) -> Column:
+    """Cross-engine-stable 48-bit word hash mod a Mersenne prime (matches
+    DuckDB's CAST('0x'||substr(md5(w),1,12) AS BIGINT) % p)."""
+    return (
+        F.conv(F.substring(F.md5(_c(col)), 1, 12), 16, 10).cast("bigint") % _MH_P
+    )
+
+
+def rolling_fingerprints(col: str | Column, n: int = 3) -> Column:
+    """Array of hashed n-gram (word) shingles — the MinHash input."""
+    c = _c(col)
+    words = F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), 0)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(words) >= n, shingles).otherwise(F.array())

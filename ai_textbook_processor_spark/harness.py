@@ -984,23 +984,16 @@ def sim_label_centroid_sim(spark, sf_dir):
     """,
 )
 def txt_quality(spark, sf_dir):
-    """Quality-scoring features: token count, punctuation ratio, stopword
-    ratio — all JVM-side regexp counting, no UDF."""
+    """Quality-scoring features via functions.text builders: token count,
+    punctuation ratio, stopword ratio — all JVM-side, no UDF."""
+    from .functions import text as TX
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), 0))
-    punct = F.size(F.regexp_extract_all("text", F.lit("[.,;:!?]"), 0))
-    stop = F.size(
-        F.regexp_extract_all(F.lower("text"), F.lit("\\b(the|a|and|of|to|in|is)\\b"), 0)
-    )
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg(toks), 4).alias("avg_tokens"),
-        F.round(F.avg(punct / F.greatest(F.length("text"), F.lit(1))), 6).alias(
-            "avg_punct_ratio"
-        ),
-        F.round(F.avg(stop / F.greatest(toks, F.lit(1))), 6).alias(
-            "avg_stopword_ratio"
-        ),
+        F.round(F.avg(TX.token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg(TX.punct_ratio("text")), 6).alias("avg_punct_ratio"),
+        F.round(F.avg(TX.stopword_ratio("text")), 6).alias("avg_stopword_ratio"),
     )
 
 
@@ -1017,19 +1010,13 @@ def txt_quality(spark, sf_dir):
     """,
 )
 def txt_langid_confusion(spark, sf_dir):
-    """n-gram/stopword language-ID heuristic vs the labeled lang column
-    (confusion counts)."""
+    """Language-ID heuristic (functions.text.lang_guess) vs the labeled
+    lang column (confusion counts)."""
+    from .functions import text as TX
+
     d = _t(spark, sf_dir, "documents")
-    guess = (
-        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
-        .when(
-            F.size(F.regexp_extract_all(F.lower("text"), F.lit("\\bthe\\b"), 0)) >= 3,
-            "en",
-        )
-        .otherwise("other")
-    )
     return (
-        d.withColumn("guess", guess)
+        d.withColumn("guess", TX.lang_guess("text"))
         .groupBy("lang", "guess")
         .agg(F.count("*").alias("n"))
     )
@@ -1047,10 +1034,10 @@ def txt_langid_confusion(spark, sf_dir):
 def txt_fingerprint(spark, sf_dir):
     """Document fingerprinting: hash of the whitespace-normalized prefix
     (the cheap pre-filter before shingle-level dedup)."""
+    from .functions import text as TX
+
     d = _t(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.lower(F.regexp_replace(F.substring("text", 1, 200), "\\s+", " "))
-    )
+    fp = TX.fingerprint("text", 200)
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.countDistinct(fp).alias("n_fp")
     )
@@ -1621,4 +1608,30 @@ def sim_ivf_topk(spark, sf_dir):
         .withColumn("rn", F.row_number().over(wn))
         .where(F.col("rn") <= 5)
         .select("vec_id", "label", F.round("cos_raw", 5).alias("cosine"))
+    )
+
+
+@query(
+    "txt_quality_score",
+    """
+    SELECT source, round(avg(q), 6) AS avg_quality FROM (
+      SELECT source,
+             round((least(length(text) / 500.0, 1.0)
+                  + least((len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                           / greatest(length(text), 1)) * 20.0, 1.0)
+                  + least((len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) * 1.0
+                           / greatest(len(regexp_extract_all(text, '[A-Za-z0-9'']+')), 1)) * 4.0, 1.0)
+                   ) / 3.0, 6) AS q
+      FROM documents
+    ) GROUP BY source
+    """,
+)
+def txt_quality_score(spark, sf_dir):
+    """Composite quality score (functions.text.quality_score) averaged per
+    source — the filter signal a training-data pipeline thresholds on."""
+    from .functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.avg(TX.quality_score("text")), 6).alias("avg_quality")
     )

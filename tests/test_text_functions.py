@@ -1,0 +1,54 @@
+"""functions.text builders: self-consistency with the dedup shingle logic
+and basic behavior (oracle parity is covered by tools/check_oracle.py)."""
+
+from pyspark.sql import functions as F
+
+from ai_textbook_processor_spark.functions import text as TX
+
+
+def test_rolling_fingerprints_match_lead_window_shingles(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "one two"), (3, ""), (4, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: list(r["sh"])
+        for r in df.select("doc_id", TX.rolling_fingerprints("text", 3).alias("sh")).collect()
+    }
+    assert got[1][:2] == ["the quick brown", "quick brown fox"]
+    assert got[1][-1] == "the lazy dog"
+    assert got[2] == [] and got[3] == []
+    assert got[4] == ["alpha beta gamma"]
+
+
+def test_quality_and_langid_behavior(spark):
+    rows = [
+        (1, "The cat sat. The dog ran. The sun is up. The day is long and the air is warm."),
+        (2, "foo bar baz qux " * 10),
+        (3, "数学 是 研究 数量 结构 变化 的 学科"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["q"], r["g"])
+        for r in df.select(
+            "doc_id",
+            TX.quality_score("text").alias("q"),
+            TX.lang_guess("text").alias("g"),
+        ).collect()
+    }
+    assert out[1][0] > out[2][0]  # punctuated English beats word salad
+    assert out[1][1] == "en"
+    assert out[3][1] == "zh"
+
+
+def test_word_hash_matches_duckdb(spark):
+    import duckdb
+
+    words = ["plant", "energy", "水", "the"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["h"] for r in df.select("w", TX.word_hash("w").alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        (exp,) = con.execute(
+            "SELECT CAST(CONCAT('0x', substr(md5(?), 1, 12)) AS BIGINT) % 2147483647", [w]
+        ).fetchone()
+        assert got[w] == exp, w
