@@ -1635,3 +1635,39 @@ def txt_quality_score(spark, sf_dir):
     return d.groupBy("source").agg(
         F.round(F.avg(TX.quality_score("text")), 6).alias("avg_quality")
     )
+
+
+@query(
+    "v2_json_schema_gate",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(sum(coalesce(k, 0)) AS BIGINT) AS k_total,
+           CAST(max(k) AS BIGINT) AS k_max
+    FROM (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE user_id < 50
+    ) GROUP BY event_type
+    """,
+)
+def v2_json_schema_gate(spark, sf_dir):
+    """Schema-validated JSON parsing with null-gating — the deterministic
+    replacement for the reference's trustcall repair loop
+    (agents/nodes.py:170-198): from_json in PERMISSIVE mode, unparseable
+    or missing fields become NULL and are gated, never retried."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    parsed = e.withColumn(
+        "p",
+        F.from_json(
+            "props", "k BIGINT", {"mode": "PERMISSIVE"}
+        ),
+    ).withColumn("k", F.col("p.k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_parsed"),
+        F.sum(F.coalesce("k", F.lit(0))).cast("long").alias("k_total"),
+        F.max("k").cast("long").alias("k_max"),
+    )
