@@ -37,3 +37,53 @@ def test_stream_extract_matches_golden(spark, tmp_path):
         assert [(s.kind, s.text, s.media_ref) for s in got] == [
             (s["kind"], s["text"], s["media_ref"]) for s in golden
         ]
+
+
+def test_watermarked_windowed_agg_matches_batch(spark, tmp_path):
+    """Event-time tumbling window with watermark over the harness events
+    table; complete-on-drain streaming counts must equal the batch plan."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "events_dir")  # file source needs a directory
+    (tmp_path / "events_dir").mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/part-0.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch_df = spark.read.parquet(src)
+    schema = batch_df.schema
+    batch_df = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ev_windowed")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM ev_windowed").collect()
+    }
+    exp = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in batch_df.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
