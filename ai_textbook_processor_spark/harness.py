@@ -583,15 +583,11 @@ _SQL_WORD_HASH = (
     """,
 )
 def dd_exact_fingerprint(spark, sf_dir):
-    """Exact dedup via content hash (hash-groupBy; at scale: one shuffle on
-    the fingerprint, map-side partial agg)."""
-    d = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.substring("text", 1, 60)))
-    return d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct(fp).alias("n_unique"),
-        (F.count("*") - F.countDistinct(fp)).alias("n_dups"),
-    )
+    """Exact dedup via content hash — operators.dedup.exact_stats (one
+    shuffle on the fingerprint, map-side partial agg at scale)."""
+    from .operators.dedup import exact_stats
+
+    return exact_stats(_t(spark, sf_dir, "documents"), "source")
 
 
 @query(
@@ -632,53 +628,14 @@ def dd_exact_fingerprint(spark, sf_dir):
     """,
 )
 def dd_ngram_jaccard(spark, sf_dir):
-    """3-gram-shingle Jaccard near-dup detection: top-20 most similar pairs
-    (exact all-pairs on shared shingles; at 100 TB this runs only on LSH
-    candidate pairs, never all-pairs)."""
+    """3-gram-shingle Jaccard near-dup detection via
+    operators.dedup.ngram_jaccard_pairs: top-20 most similar pairs (exact
+    all-pairs on shared shingles; at 100 TB this runs only on LSH candidate
+    pairs, never all-pairs)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
-    words = d.select(
-        "doc_id",
-        F.posexplode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
-            "i", "w"
-        ),
-    )
-    w = W.partitionBy("doc_id").orderBy("i")
-    sh = (
-        words.withColumn("w1", F.lead("w", 1).over(w))
-        .withColumn("w2", F.lead("w", 2).over(w))
-        .where(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("shingle"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    j = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter"))
-            ).alias("jac_raw"),
-        )
-    )
-    wn = W.orderBy(F.col("jac_raw").desc(), "doc_a", "doc_b")
-    return (
-        j.withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") <= 20)
-        .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
-    )
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, top_k=20)
 
 
 @query(
@@ -723,55 +680,14 @@ def dd_ngram_jaccard(spark, sf_dir):
     """,
 )
 def dd_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: shingle -> 4 affine minhashes -> band-bucket
-    join -> candidate pairs with >=3/4 matching signature components.
-    At scale this is THE dedup plan: the band join shuffles only
-    (band, sig) keys, never all-pairs."""
+    """MinHash+LSH near-dup via operators.dedup.minhash_lsh_pairs: shingle
+    -> 4 affine minhashes -> band-bucket join -> candidate pairs with >=3/4
+    matching signature components. At scale this is THE dedup plan: the
+    band join shuffles only (band, sig) keys, never all-pairs."""
+    from .operators.dedup import minhash_lsh_pairs
+
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
-    words = (
-        d.select(
-            "doc_id",
-            F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("w"),
-        )
-        .distinct()
-    )
-    h = _spark_word_hash(F.col("w"))
-    sig_cols = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P).alias(f"s{i}")
-        for i, (a, b) in enumerate(_MH_COEFS)
-    ]
-    sigs = words.withColumn("h", h).groupBy("doc_id").agg(*sig_cols)
-    # posexplode instead of a 4-way union: one pass over sigs, no subtree
-    # recomputation (union branches would re-run the words+groupBy shuffle
-    # once per band)
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.array("s0", "s1", "s2", "s3")).alias("band", "sig"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa, sb = sigs.alias("sa"), sigs.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
-        for i in range(4)
-    )
-    return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(matches >= 3)
-        .select(
-            "doc_a", "doc_b", F.round(matches / F.lit(4.0), 2).alias("est_jaccard")
-        )
-    )
+    return minhash_lsh_pairs(d, "doc_id", "text", min_matches=3)
 
 
 @query(
@@ -794,29 +710,13 @@ def dd_minhash_lsh(spark, sf_dir):
     """,
 )
 def dd_simhash(spark, sf_dir):
-    """SimHash document fingerprints: 16-bit signature from word-hash bit
-    votes (near-dups share low hamming distance; dedup by banding the
-    signature at scale)."""
+    """SimHash document fingerprints via operators.dedup.simhash_signatures
+    (near-dups share low hamming distance; dedup by banding the signature
+    at scale)."""
+    from .operators.dedup import simhash_signatures
+
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    words = d.select(
-        "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("w"),
-    )
-    hashes = words.withColumn("h", _spark_word_hash(F.col("w")))
-    bits = (
-        hashes.crossJoin(F.broadcast(spark.range(16).select(F.col("id").cast("int").alias("b"))))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
-            ).alias("weight")
-        )
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("weight") > 0, F.expr("shiftleft(1, b)")).otherwise(0)
-        ).alias("simhash")
-    )
+    return simhash_signatures(d, "doc_id", "text", bits=16)
 
 
 # ---------------------------------------------------------------------------
@@ -873,28 +773,15 @@ def _spark_dot_lit(vec_col, lit: list[float]):
     """,
 )
 def sim_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k ANN baseline: JVM-side fold over
-    zip_with (no Python in the loop); query vector broadcast. The scale
-    path is sim_lsh_buckets (prune to one bucket, then exact rerank)."""
+    """Brute-force cosine top-k ANN baseline via
+    operators.similarity.cosine_topk (JVM-side fold, broadcast query
+    vector). The scale path is sim_lsh_buckets / sim_ivf_topk (prune to
+    one cell, then exact rerank)."""
+    from .operators.similarity import cosine_topk
+
     e = _t(spark, sf_dir, "embeddings")
     qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    j = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    emb = F.col("embedding").cast("array<double>")
-    q = F.col("qv").cast("array<double>")
-    cos = dot(emb, q) / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(q, q)))
-    scored = j.select("vec_id", "label", cos.alias("cos_raw"))
-    wn = W.orderBy(F.col("cos_raw").desc(), "vec_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") <= 10)
-        .select("vec_id", "label", F.round("cos_raw", 5).alias("cosine"))
-    )
+    return cosine_topk(e.where(F.col("vec_id") != 0), qv, k=10)
 
 
 @query(
@@ -912,16 +799,14 @@ def sim_cosine_topk(spark, sf_dir):
     """,
 )
 def sim_lsh_buckets(spark, sf_dir):
-    """Sign-LSH bucketing over 4 fixed hyperplanes — the ANN scale path:
-    queries probe one bucket (1/16 of the data) before exact rerank."""
+    """Sign-LSH bucketing via operators.similarity.lsh_bucket over 4 fixed
+    hyperplanes — the ANN scale path: queries probe one bucket (1/16 of
+    the data) before exact rerank."""
+    from .operators.similarity import lsh_bucket
+
     e = _t(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-    bucket = sum(
-        F.when(_spark_dot_lit(emb, _PLANES[p]) > 0, 1 << p).otherwise(0)
-        for p in range(4)
-    )
     return (
-        e.select("vec_id", "label", bucket.alias("bucket"))
+        e.select("vec_id", "label", lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_vecs"),

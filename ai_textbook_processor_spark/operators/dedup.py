@@ -1,0 +1,203 @@
+"""Deduplication operators over any (id, text) DataFrame.
+
+The training-data dedup family (task brief), engine-level API:
+
+* ``exact_stats`` / ``fingerprint_col`` — hash-groupBy exact dedup.
+* ``minhash_signatures`` / ``minhash_lsh_pairs`` — MinHash + banded LSH:
+  shingle -> K affine permutations of a cross-engine-stable word hash ->
+  band-bucket join. THE scale path: shuffles (band, sig) keys, never
+  all-pairs.
+* ``simhash_signatures`` — bit-vote fingerprints; near-dups = low hamming.
+* ``ngram_jaccard_pairs`` — exact shingle-Jaccard; at scale run it only on
+  LSH candidates (verification, not discovery).
+
+All JVM-side Column expressions; DuckDB oracles in harness.py verify each
+value-for-value at sf0.01 (queries dd_*).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import word_hash
+
+MH_PRIME = (1 << 31) - 1
+MH_COEFS = [
+    (1299721, 104729),
+    (15485863, 32452843),
+    (49979687, 899809363),
+    (104395301, 512927357),
+]
+
+
+def fingerprint_col(text_col="text", prefix: int = 60):
+    return F.md5(F.lower(F.substring(text_col, 1, prefix)))
+
+
+def exact_stats(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    fp = fingerprint_col(text_col)
+    return df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_dups"),
+    )
+
+
+def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    ).distinct()
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    coefs=tuple(MH_COEFS),
+) -> DataFrame:
+    """One row per id with minhash components s0..s{K-1} (unigram set)."""
+    words = _words(df, id_col, text_col)
+    h = word_hash(F.col("w"))
+    sig_cols = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"s{i}")
+        for i, (a, b) in enumerate(coefs)
+    ]
+    return words.withColumn("h", h).groupBy(id_col).agg(*sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_matches: int = 3, coefs=tuple(MH_COEFS),
+) -> DataFrame:
+    """Candidate near-dup pairs sharing >= min_matches of K signature
+    components, discovered through the band-bucket join (one band per
+    component)."""
+    k = len(coefs)
+    sigs = minhash_signatures(df, id_col, text_col, coefs)
+    bands = sigs.select(
+        id_col,
+        F.posexplode(F.array(*[f"s{i}" for i in range(k)])).alias("band", "sig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .where(matches >= min_matches)
+        .select(
+            "doc_a", "doc_b",
+            F.round(matches / F.lit(float(k)), 2).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """bit-vote SimHash over all word occurrences (not the distinct set)."""
+    words = df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    hashes = words.withColumn("h", word_hash(F.col("w")))
+    bit_range = df.sparkSession.range(bits).select(
+        F.col("id").cast("int").alias("b")
+    )
+    weights = (
+        hashes.crossJoin(F.broadcast(bit_range))
+        .groupBy(id_col, "b")
+        .agg(
+            F.sum(F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)).alias(
+                "weight"
+            )
+        )
+    )
+    return weights.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("weight") > 0, F.expr("shiftleft(1, b)")).otherwise(0)
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, top_k: int | None = 20,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard for pairs sharing any shingle; with
+    top_k, returns the k most similar pairs (deterministic tiebreak)."""
+    words = df.select(
+        id_col,
+        F.posexplode(
+            F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), 0)
+        ).alias("i", "w"),
+    )
+    w = W.partitionBy(id_col).orderBy("i")
+    # materialize the lead columns BEFORE filtering — a lead computed after
+    # the filter would skip over dropped rows and change the shingles
+    with_leads = words
+    lead_names = []
+    for j in range(1, n):
+        name = f"w{j}"
+        with_leads = with_leads.withColumn(name, F.lead("w", j).over(w))
+        lead_names.append(name)
+    sh = (
+        with_leads.where(F.col(lead_names[-1]).isNotNull())
+        .select(id_col, F.concat_ws(" ", "w", *lead_names).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a", "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter"))
+            ).alias("jac_raw"),
+        )
+    )
+    if top_k is None:
+        return j.select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
+    wn = W.orderBy(F.col("jac_raw").desc(), "doc_a", "doc_b")
+    return (
+        j.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") <= top_k)
+        .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
+    )

@@ -1,0 +1,79 @@
+"""Similarity-search operators over embedding DataFrames.
+
+ANN family (task brief): brute-force cosine top-k as the exact baseline,
+sign-LSH bucketing and IVF coarse quantization as the scale paths (probe
+1/K of the data, then exact rerank). All JVM-side folds over
+zip_with-multiplied double arrays — no Python in the scoring loop; the
+query vector / centroid table are broadcast. Oracle-verified value-for-
+value by the sim_* harness queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential fold — accumulation order matches DuckDB's list_sum over
+    an index comprehension, so rounded values agree cross-engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_topk(
+    df: DataFrame, query: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding", extra_cols=("label",),
+) -> DataFrame:
+    """Exact brute-force top-k by cosine; ``query`` is a 1-row DataFrame
+    with column ``qv`` (broadcast). Deterministic tiebreak on id."""
+    emb = F.col(vec_col).cast("array<double>")
+    q = F.col("qv").cast("array<double>")
+    cos = dot(emb, q) / (norm(emb) * norm(q))
+    scored = df.crossJoin(F.broadcast(query)).select(
+        id_col, *extra_cols, cos.alias("cos_raw")
+    )
+    wn = W.orderBy(F.col("cos_raw").desc(), id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") <= k)
+        .select(id_col, *extra_cols, F.round("cos_raw", 5).alias("cosine"))
+    )
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id from fixed hyperplanes (broadcast-free: the
+    planes are plan literals)."""
+    emb = vec_col.cast("array<double>")
+    return sum(
+        F.when(
+            dot(emb, F.array(*[F.lit(float(x)) for x in plane])) > 0, 1 << p
+        ).otherwise(0)
+        for p, plane in enumerate(planes)
+    )
+
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantization: each vector joins its best (max-cosine)
+    centroid; centroids is a small DataFrame (cid, cemb) — broadcast.
+    The returned ``cid`` is the IVF cell / partition key at scale."""
+    emb = F.col(vec_col).cast("array<double>")
+    cemb = F.col("cemb").cast("array<double>")
+    sim = dot(emb, cemb) / (norm(emb) * norm(cemb))
+    w = W.partitionBy(id_col).orderBy(F.col("simc").desc(), "cid")
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("simc", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .drop("rnk", "simc", "cemb")
+    )
