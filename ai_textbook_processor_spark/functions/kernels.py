@@ -69,6 +69,14 @@ _VOID_TAGS = frozenset(
         "embed", "source", "track", "wbr",
     }
 )
+# tags whose opening implies closing an open <p> (HTML5 parsing rules)
+_P_CLOSERS = frozenset(
+    {
+        "p", "div", "ul", "ol", "dl", "table", "h1", "h2", "h3", "h4", "h5",
+        "h6", "li", "blockquote", "pre", "section", "article", "main",
+        "figure", "form", "header", "footer", "nav", "aside",
+    }
+)
 
 _WS_RE = re.compile(r"\s+")
 
@@ -117,6 +125,20 @@ class _DomBuilder(HTMLParser):
         self._stack[-1].content.append(node)
         self._stack.append(node)
 
+    def _implied_end(self, tag: str) -> None:
+        """Minimal HTML5 implied-end-tag rules (browsers close an open <p>
+        when a new block opens, <li> on <li>, table cells on cell/row) —
+        without this, sloppy unclosed markup nests and loses text."""
+        top = self._stack[-1].tag
+        if top == "p" and tag in _P_CLOSERS:
+            del self._stack[-1:]
+        elif top == "li" and tag == "li":
+            del self._stack[-1:]
+        elif top in ("td", "th") and tag in ("td", "th", "tr"):
+            del self._stack[-1:]
+        elif top == "tr" and tag == "tr":
+            del self._stack[-1:]
+
     def handle_starttag(self, tag, attrs):
         if tag in _VOID_TAGS:
             if tag == "br":
@@ -124,6 +146,7 @@ class _DomBuilder(HTMLParser):
             return
         if tag == "a":
             self._link_depth += 1
+        self._implied_end(tag)
         self._push(tag)
 
     def handle_startendtag(self, tag, attrs):
@@ -176,7 +199,14 @@ def _iter_nodes(node: _Node):
 
 
 def _has_block_child(node: _Node) -> bool:
-    return any(c.tag in _BLOCK_TAGS for c in node.child_nodes())
+    """True if any DESCENDANT is a block element — list/table wrappers
+    (ul, table, tr, ...) are not block-leaf tags themselves, so a direct-
+    child check would make `div > ul > li` classify the div as a leaf and
+    duplicate the items' text."""
+    for c in node.child_nodes():
+        if c.tag in _BLOCK_TAGS or _has_block_child(c):
+            return True
+    return False
 
 
 def _under_boilerplate(node: _Node) -> bool:
