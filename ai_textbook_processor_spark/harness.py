@@ -113,8 +113,8 @@ def a3_first_per_group(spark, sf_dir):
         _t(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(
-            F.min_by("doc_id", F.col("n_chars") * 1000 + F.col("doc_id")).alias("smallest_doc"),
-            F.max_by("doc_id", F.col("n_chars") * 1000 + F.col("doc_id")).alias("largest_doc"),
+            F.min_by("doc_id", F.col("n_chars") * 10000000 + F.col("doc_id")).alias("smallest_doc"),
+            F.max_by("doc_id", F.col("n_chars") * 10000000 + F.col("doc_id")).alias("largest_doc"),
         )
     )
 

@@ -17,7 +17,8 @@ sys.path.insert(0, ".")
 import __spark_entry__ as entrymod  # noqa: E402
 from ai_textbook_processor_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
