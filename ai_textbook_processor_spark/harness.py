@@ -1556,3 +1556,27 @@ def v2_json_schema_gate(spark, sf_dir):
         F.sum(F.coalesce("k", F.lit(0))).cast("long").alias("k_total"),
         F.max("k").cast("long").alias("k_max"),
     )
+
+
+@query("g1_generate_content")  # rows-only: nested Map/Struct generation
+def g1_generate_content(spark, sf_dir):
+    """The reference's generation stage (agents/nodes.py:292-327) as a
+    deterministic template generator over validated extracted docs —
+    summary counts of the nested GenerationResult-shaped struct."""
+    from .functions.readability import CriteriaConfig
+    from .operators.extract import extracted_text
+    from .operators.generate import with_generation
+    from .plans.pipeline import extract_documents
+
+    docs = _interleaved_from_documents(spark, sf_dir)
+    out = extract_documents(docs, CriteriaConfig(grade_lo=-100.0, grade_hi=100.0))
+    valid = out.where(F.col("is_valid"))
+    gen = with_generation(valid, extracted_text("spans"))
+    return gen.select(
+        "doc_id",
+        F.size(F.map_keys("generated.flashcards")).cast("long").alias("n_flashcards"),
+        F.size("generated.mcq").cast("long").alias("n_mcq"),
+        F.size("generated.fillInTheBlanks").cast("long").alias("n_blanks"),
+        F.size("generated.questionAnswer").cast("long").alias("n_qa"),
+        F.length("generated.importantNotes").cast("long").alias("notes_len"),
+    )
