@@ -61,3 +61,45 @@ def test_text_content_survives_passthrough(idx):
     out = extract_document(d["spans"])
     texts = [s["text"] for s in out]
     assert len(texts) == len(d["spans"])
+
+
+# -- adversarial fuzz: arbitrary unicode spans must never crash the kernel
+# and must preserve the engine invariants (untrusted 100 TB input stance)
+
+_kinds = st.sampled_from(
+    ["text", "html", "pdf_block", "figure", "table_image", "heading", "", "junk"]
+)
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+_span = st.fixed_dictionaries(
+    {
+        "kind": _kinds,
+        "text": st.one_of(st.none(), _text),
+        "media_ref": st.one_of(st.none(), st.text(max_size=30)),
+        "offset": st.one_of(st.none(), st.integers(-1000, 10**6)),
+    }
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_span, max_size=12))
+def test_fuzz_extract_never_crashes_and_invariants_hold(spans):
+    out = extract_document(spans)
+    off = 0
+    for s in out:
+        assert s["kind"] in OUT_KINDS
+        assert s["offset"] == off
+        off += len(s["text"]) + 1
+    # media conservation still holds under junk input
+    in_refs = sorted(
+        (sp["media_ref"] or "")
+        for sp in spans
+        if sp["kind"] in ("figure", "table_image")
+    )
+    out_refs = sorted(
+        s["media_ref"] for s in out if s["kind"] in ("figure", "table")
+    )
+    assert out_refs == in_refs
+    # idempotence survives fuzz
+    assert extract_document(out) == out
