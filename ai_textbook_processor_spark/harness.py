@@ -556,18 +556,8 @@ def ev_sessionize(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # md5-hex -> bigint works identically in both engines (48-bit slice, no
-# overflow); P is a Mersenne prime for the affine minhash permutations.
-_MH_P = (1 << 31) - 1
-_MH_COEFS = [(1299721, 104729), (15485863, 32452843), (49979687, 899809363),
-             (104395301, 512927357)]
-
-
-def _spark_word_hash(col):
-    return (
-        F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint") % _MH_P
-    )
-
-
+# overflow); the Spark twin lives in functions.text.word_hash and
+# operators.dedup (MH_PRIME / MH_COEFS).
 _SQL_WORD_HASH = (
     "CAST(CONCAT('0x', substr(md5({c}), 1, 12)) AS BIGINT) % 2147483647"
 )

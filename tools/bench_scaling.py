@@ -74,7 +74,7 @@ def run_level(cores: int, n_docs: int) -> dict:
     return json.loads(line)
 
 
-def best_of(cores: int, n_docs: int, reps: int = 2) -> dict:
+def best_of(cores: int, n_docs: int, reps: int = 3) -> dict:
     runs = [run_level(cores, n_docs) for _ in range(reps)]
     return max(runs, key=lambda r: r["docs_per_sec"])
 
