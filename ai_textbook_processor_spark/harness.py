@@ -1570,3 +1570,18 @@ def g1_generate_content(spark, sf_dir):
         F.size("generated.questionAnswer").cast("long").alias("n_qa"),
         F.length("generated.importantNotes").cast("long").alias("notes_len"),
     )
+
+
+@query("tp1_clean_corpus_funnel")  # rows-only: composed multi-stage pipeline
+def tp1_clean_corpus_funnel(spark, sf_dir):
+    """The full training-data pipeline (extract -> quality/lang gate ->
+    exact dedup -> MinHash-LSH near-dedup) over harness-derived docs;
+    returns the per-stage funnel counts."""
+    from .functions.readability import CriteriaConfig
+    from .plans.training_pipeline import clean_corpus
+
+    docs = _interleaved_from_documents(spark, sf_dir)
+    _cleaned, funnel = clean_corpus(
+        docs, CriteriaConfig(grade_lo=-100.0, grade_hi=100.0), min_quality=0.1
+    )
+    return funnel

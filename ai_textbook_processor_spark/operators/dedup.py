@@ -144,10 +144,17 @@ def simhash_signatures(
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 3, top_k: int | None = 20,
+    n: int = 3, top_k: int | None = 20, max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard for pairs sharing any shingle; with
-    top_k, returns the k most similar pairs (deterministic tiebreak)."""
+    top_k, returns the k most similar pairs (deterministic tiebreak).
+
+    ``max_df``: drop shingles appearing in more than max_df documents
+    before the self-join (stop-shingles). At corpus scale this is
+    REQUIRED — a shingle shared by k docs contributes k^2/2 join rows, so
+    one boilerplate phrase can explode the join; dropping high-DF shingles
+    only removes candidates that near-dup pairs never need (they share
+    many rare shingles too)."""
     words = df.select(
         id_col,
         F.posexplode(
@@ -168,6 +175,14 @@ def ngram_jaccard_pairs(
         .select(id_col, F.concat_ws(" ", "w", *lead_names).alias("shingle"))
         .distinct()
     )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
