@@ -1585,3 +1585,31 @@ def tp1_clean_corpus_funnel(spark, sf_dir):
         docs, CriteriaConfig(grade_lo=-100.0, grade_hi=100.0), min_quality=0.1
     )
     return funnel
+
+
+@query(
+    "scalar_functions2",
+    """
+    SELECT doc_id,
+           sha256(lang) AS lang_sha,
+           to_base64(encode(substr(text, 1, 12))) AS prefix_b64,
+           printf('%s-%03d', lang, CAST(n_chars % 100 AS INT)) AS tag,
+           CAST(greatest(n_chars, 100) AS BIGINT) AS g,
+           CAST(least(n_chars, 100) AS BIGINT) AS l
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def scalar_functions2(spark, sf_dir):
+    """Second scalar battery: crypto hash (deterministic ids, the uuid4
+    replacement per SURVEY §2.9), base64 (image-payload encoding analog,
+    utils/utility.py:64), printf-style templating (prompt formatting
+    analog, agents/nodes.py:141-146)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id",
+        F.sha2("lang", 256).alias("lang_sha"),
+        F.base64(F.encode(F.substring("text", 1, 12), "utf-8")).alias("prefix_b64"),
+        F.format_string("%s-%03d", F.col("lang"), (F.col("n_chars") % 100).cast("int")).alias("tag"),
+        F.greatest("n_chars", F.lit(100)).cast("long").alias("g"),
+        F.least("n_chars", F.lit(100)).cast("long").alias("l"),
+    )
