@@ -101,8 +101,8 @@ def s9_point_lookup(spark, sf_dir):
 @query(
     "a3_first_per_group",
     """
-    SELECT source, min_by(doc_id, n_chars) AS smallest_doc,
-           arg_max(doc_id, n_chars) AS largest_doc
+    SELECT source, min_by(doc_id, n_chars * 10000000 + doc_id) AS smallest_doc,
+           arg_max(doc_id, n_chars * 10000000 + doc_id) AS largest_doc
     FROM documents GROUP BY source
     """,
 )
@@ -1146,10 +1146,11 @@ def q3_shipping_priority(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(rev.alias("rev_raw"), F.min("o_orderpriority").alias("prio"))
     )
-    wn = W.orderBy(F.col("rev_raw").desc(), "l_orderkey")
+    # global top-10 via orderBy().limit() -> TakeOrderedAndProject (per-
+    # partition heaps), not a single-partition row_number() window.
     return (
-        g.withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") <= 10)
+        g.orderBy(F.col("rev_raw").desc(), "l_orderkey")
+        .limit(10)
         .select(
             F.col("l_orderkey").alias("o_orderkey"),
             F.round("rev_raw", 2).alias("revenue"),
@@ -1463,12 +1464,21 @@ def sim_ivf_topk(spark, sf_dir):
     )
     crossed = vecs.crossJoin(F.broadcast(cents))
     sim_c = dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
-    w_assign = W.partitionBy("vec_id").orderBy(F.col("simc").desc(), "cid")
+    # per-vector argmax centroid via groupBy + max_by (map-side combine:
+    # the shuffle carries 1 row per vector, not K) — same (sim DESC, cid
+    # ASC) tiebreak as the oracle's window.
+    key = F.struct(F.col("simc").alias("s"), (-F.col("cid")).alias("c"))
     assigned = (
         crossed.withColumn("simc", sim_c)
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .where(F.col("rnk") == 1)
-        .select("vec_id", "label", "emb", "nrm", "cid")
+        .groupBy("vec_id")
+        .agg(F.max_by(F.struct("label", "emb", "nrm", "cid"), key).alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.label").alias("label"),
+            F.col("_b.emb").alias("emb"),
+            F.col("_b.nrm").alias("nrm"),
+            F.col("_b.cid").alias("cid"),
+        )
     )
     q = assigned.where(F.col("vec_id") == 0).select(
         F.col("emb").alias("qv"), F.col("nrm").alias("qnrm"), F.col("cid").alias("qcid")
@@ -1477,11 +1487,12 @@ def sim_ivf_topk(spark, sf_dir):
         F.broadcast(q), F.col("cid") == F.col("qcid")
     )
     cos = dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qnrm"))
-    wn = W.orderBy(F.col("cos_raw").desc(), "vec_id")
+    # rerank inside the probed cell: orderBy().limit() compiles to
+    # TakeOrderedAndProject — no single-partition window.
     return (
         cand.withColumn("cos_raw", cos)
-        .withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") <= 5)
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(5)
         .select("vec_id", "label", F.round("cos_raw", 5).alias("cosine"))
     )
 

@@ -113,7 +113,15 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:
-    """bit-vote SimHash over all word occurrences (not the distinct set)."""
+    """bit-vote SimHash over all word occurrences (not the distinct set).
+
+    ONE groupBy(id) with per-bit popcount aggregates — no bit_range
+    crossJoin (which multiplied the exploded word rows ×bits before the
+    shuffle, 16-64× the shuffle bytes at corpus scale). The bit vote
+    sum(±1) > 0 is equivalent to 2 * count(bit set) > count(words); all
+    `bits` sums ride the same map-side-combined exchange, so the shuffle
+    carries one row per document.
+    """
     words = df.select(
         id_col,
         F.explode(
@@ -121,25 +129,18 @@ def simhash_signatures(
         ).alias("w"),
     )
     hashes = words.withColumn("h", word_hash(F.col("w")))
-    bit_range = df.sparkSession.range(bits).select(
-        F.col("id").cast("int").alias("b")
-    )
-    weights = (
-        hashes.crossJoin(F.broadcast(bit_range))
-        .groupBy(id_col, "b")
-        .agg(
-            F.sum(F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)).alias(
-                "weight"
-            )
+    bit_counts = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"o{b}")
+        for b in range(bits)
+    ]
+    g = hashes.groupBy(id_col).agg(F.count("*").alias("cnt"), *bit_counts)
+    sim = None
+    for b in range(bits):
+        term = F.when(2 * F.col(f"o{b}") > F.col("cnt"), F.lit(1 << b)).otherwise(
+            F.lit(0)
         )
-    )
-    return weights.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("weight") > 0, F.expr("shiftleft(1, b)")).otherwise(0)
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+        sim = term if sim is None else sim + term
+    return g.select(id_col, sim.cast("long").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -210,9 +211,11 @@ def ngram_jaccard_pairs(
     )
     if top_k is None:
         return j.select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
-    wn = W.orderBy(F.col("jac_raw").desc(), "doc_a", "doc_b")
+    # global top-k via orderBy().limit(k) -> TakeOrderedAndProject: each
+    # partition keeps a k-row heap, the driver merges k*P rows — never the
+    # single-partition WindowExec that a global row_number() forces.
     return (
-        j.withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") <= top_k)
+        j.orderBy(F.col("jac_raw").desc(), "doc_a", "doc_b")
+        .limit(top_k)
         .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
     )

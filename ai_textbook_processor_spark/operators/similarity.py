@@ -11,7 +11,6 @@ value by the sim_* harness queries.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -39,10 +38,11 @@ def cosine_topk(
     scored = df.crossJoin(F.broadcast(query)).select(
         id_col, *extra_cols, cos.alias("cos_raw")
     )
-    wn = W.orderBy(F.col("cos_raw").desc(), id_col)
+    # TakeOrderedAndProject (per-partition heap + driver merge), not a
+    # global row_number() window that funnels every row to one partition.
     return (
-        scored.withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") <= k)
+        scored.orderBy(F.col("cos_raw").desc(), id_col)
+        .limit(k)
         .select(id_col, *extra_cols, F.round("cos_raw", 5).alias("cosine"))
     )
 
@@ -65,15 +65,23 @@ def ivf_assign(
 ) -> DataFrame:
     """Coarse quantization: each vector joins its best (max-cosine)
     centroid; centroids is a small DataFrame (cid, cemb) — broadcast.
-    The returned ``cid`` is the IVF cell / partition key at scale."""
+    The returned ``cid`` is the IVF cell / partition key at scale.
+
+    argmin is groupBy + max_by (NOT a per-id window): the broadcast
+    crossJoin keeps all K centroid rows of a vector inside its input
+    partition, so map-side partial aggregation collapses them before the
+    shuffle — the exchange carries 1 row per vector instead of K.
+    Tiebreak matches ORDER BY sim DESC, cid ASC via max_by(struct(sim, -cid)).
+    """
     emb = F.col(vec_col).cast("array<double>")
     cemb = F.col("cemb").cast("array<double>")
     sim = dot(emb, cemb) / (norm(emb) * norm(cemb))
-    w = W.partitionBy(id_col).orderBy(F.col("simc").desc(), "cid")
+    others = [c for c in df.columns if c != id_col]
+    key = F.struct(F.col("simc").alias("s"), (-F.col("cid")).alias("c"))
     return (
         df.crossJoin(F.broadcast(centroids))
         .withColumn("simc", sim)
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .drop("rnk", "simc", "cemb")
+        .groupBy(id_col)
+        .agg(F.max_by(F.struct(*others, "cid"), key).alias("_b"))
+        .select(id_col, *[F.col(f"_b.{c}").alias(c) for c in others + ["cid"]])
     )
