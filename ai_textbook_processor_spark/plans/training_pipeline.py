@@ -11,10 +11,18 @@ Shuffle budget: extraction none; exact dedup one hash shuffle on the
 fingerprint; LSH the (band, sig) shuffle — all on (id, small columns),
 never on raw spans. The funnel DataFrame is the pipeline's observability
 (the reference's SSE progress analog at dataset granularity).
+
+Single-extraction guarantee: the expensive fused extract UDF runs exactly
+once per pipeline invocation. A slim (doc_id, text, gate_ok) projection is
+persisted right after extraction; the dedup window, the LSH candidate
+join, and all four funnel counts read that cache instead of re-deriving
+the lineage (r1 ran the UDF up to 4x — one eager .count() per stage).
+Verified by an accumulator test in test_training_pipeline.py.
 """
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -33,40 +41,82 @@ def clean_corpus(
     langs: tuple[str, ...] = (),
     near_dup_min_matches: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (cleaned DataFrame, funnel DataFrame of per-stage counts)."""
+    """Returns (cleaned DataFrame, funnel DataFrame of per-stage counts).
+
+    The funnel is computed in two driver actions total (a count that
+    materializes the slim cache, then one aggregate over per-doc flags) —
+    never one action per stage. ``slim`` stays persisted so that
+    materializing ``cleaned`` afterwards also reuses the single extraction
+    pass; callers running many pipelines can ``spark.catalog.clearCache()``.
+
+    The near-dup loser set is anti-joined WITHOUT a broadcast hint: on a
+    crawl-scale corpus losers are O(duplicate docs) — easily 20-50% of all
+    doc_ids, far beyond broadcast limits. A shuffle anti-join on a slim key
+    column is cheap, and AQE still broadcasts when the set actually fits.
+    """
     spark = docs.sparkSession
     extracted = extract_documents(docs, cfg).withColumn(
         "text", extracted_text("spans")
     )
-    extracted = extracted.withColumn("quality", quality_score("text")).withColumn(
-        "lang_guess", lang_guess("text")
-    )
 
-    gated = extracted.where(F.col("is_valid") & (F.col("quality") >= min_quality))
+    gate = F.col("is_valid") & (quality_score("text") >= min_quality)
     if langs:
-        gated = gated.where(F.col("lang_guess").isin(*langs))
+        gate = gate & lang_guess("text").isin(*langs)
+
+    # slim doc-level projection — the ONLY persisted thing (id + extracted
+    # text + gate flag; never the span arrays / validation structs)
+    slim = extracted.select(
+        "doc_id", "text", gate.alias("gate_ok")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_input = slim.count()  # action 1: populates the cache => extraction runs here, once
+
+    gated = slim.where("gate_ok")
 
     # exact dedup: keep the smallest doc_id per content fingerprint
     w = W.partitionBy(fingerprint("text", 200)).orderBy("doc_id")
-    exact = gated.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") == 1
-    ).drop("_rn")
+    winners = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "text")
+    )
 
     # near-dup dedup: LSH candidates, drop the pair's higher doc_id
     pairs = minhash_lsh_pairs(
-        exact.select("doc_id", "text"), "doc_id", "text",
-        min_matches=near_dup_min_matches,
+        winners, "doc_id", "text", min_matches=near_dup_min_matches
     )
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    cleaned = exact.join(F.broadcast(losers), "doc_id", "left_anti")
 
+    # action 2: remaining funnel stages in ONE aggregate over per-doc flags
+    flags = (
+        slim.join(
+            winners.select("doc_id", F.lit(True).alias("is_winner")),
+            "doc_id",
+            "left",
+        ).join(
+            losers.select("doc_id", F.lit(True).alias("is_loser")), "doc_id", "left"
+        )
+    )
+    is_winner = F.coalesce("is_winner", F.lit(False))
+    is_loser = F.coalesce("is_loser", F.lit(False))
+    agg = flags.agg(
+        F.sum(F.col("gate_ok").cast("long")).alias("extracted_valid"),
+        F.sum(is_winner.cast("long")).alias("after_exact_dedup"),
+        F.sum((is_winner & ~is_loser).cast("long")).alias("after_near_dedup"),
+    ).collect()[0]
     counts = {
-        "input": docs.count(),
-        "extracted_valid": gated.count(),
-        "after_exact_dedup": exact.count(),
-        "after_near_dedup": cleaned.count(),
+        "input": n_input,
+        "extracted_valid": agg["extracted_valid"],
+        "after_exact_dedup": agg["after_exact_dedup"],
+        "after_near_dedup": agg["after_near_dedup"],
     }
     funnel = spark.createDataFrame(
         [(k, v) for k, v in counts.items()], "stage string, n long"
+    )
+
+    keep = winners.join(losers, "doc_id", "left_anti").select("doc_id")
+    cleaned = (
+        extracted.withColumn("quality", quality_score("text"))
+        .withColumn("lang_guess", lang_guess("text"))
+        .join(keep, "doc_id", "left_semi")
     )
     return cleaned, funnel

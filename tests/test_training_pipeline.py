@@ -44,6 +44,28 @@ def test_clean_corpus_funnel_and_dedup(spark):
     assert row["quality"] >= 0.2 and row["spans"] is not None
 
 
+def test_extraction_runs_once_for_funnel(spark):
+    """The fused extract UDF must run exactly once per clean_corpus
+    invocation (r1 ran it up to 4x — one eager count per funnel stage).
+    A pass-through mapInPandas wrapper upstream of extraction counts input
+    scans via an accumulator; the persisted slim projection means the
+    window / LSH / funnel branches never re-derive the lineage."""
+    n = 24
+    docs = corpus_df(spark, n, seed=7)
+    acc = spark.sparkContext.accumulator(0)
+
+    def passthru(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    wrapped = docs.mapInPandas(passthru, schema=docs.schema)
+    cfg = CriteriaConfig(grade_lo=-100.0, grade_hi=100.0)
+    _cleaned, funnel = clean_corpus(wrapped, cfg, min_quality=0.0)
+    funnel.collect()
+    assert acc.value == n, f"extraction input scanned {acc.value} rows for {n} docs"
+
+
 def test_lang_filter(spark):
     docs = corpus_df(spark, 24, seed=42)
     cfg = CriteriaConfig(grade_lo=-100.0, grade_hi=100.0)
