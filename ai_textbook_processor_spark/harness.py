@@ -680,6 +680,67 @@ def dd_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(d, "doc_id", "text", min_matches=3)
 
 
+def _minhash16_oracle() -> str:
+    """DuckDB oracle for the production 16-perm 4x4-banded MinHash config,
+    generated from the same MH_COEFS_16 constant the Spark operator uses."""
+    from .operators.dedup import MH_COEFS_16
+
+    k, r = len(MH_COEFS_16), 4
+    mins = ",\n             ".join(
+        f"min(({a} * h + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(MH_COEFS_16)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, concat_ws('-', {cols}) AS sig FROM sigs".format(
+            j=j, cols=", ".join(f"s{j * r + t}" for t in range(r))
+        )
+        for j in range(k // r)
+    )
+    matches = "\n         + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents WHERE doc_id < 60
+      )
+    ), hashes AS (
+      SELECT doc_id, {_SQL_WORD_HASH.format(c='w')} AS h FROM words
+    ), sigs AS (
+      SELECT doc_id, {mins}
+      FROM hashes GROUP BY doc_id
+    ), bands AS (
+      {bands}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(({matches}) / 16.0, 2) AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON cand.doc_a = sa.doc_id
+    JOIN sigs sb ON cand.doc_b = sb.doc_id
+    WHERE ({matches}) >= 8
+    """
+
+
+@query("dd_minhash_lsh16", _minhash16_oracle())
+def dd_minhash_lsh16(spark, sf_dir):
+    """Production-config MinHash+LSH (VERDICT r1 #4): 16 permutations in 4
+    bands of 4 rows — band key = the concatenated signature slice, so a
+    candidate needs a whole band to agree (P = 1-(1-j^4)^4: ~0.99 at j=0.9,
+    ~0.005 at j=0.2), then >= 8/16 matching components (est_jaccard >= 0.5).
+    Same discovery shape as dd_minhash_lsh: shuffle on (band, sig), never
+    all-pairs."""
+    from .operators.dedup import MH_COEFS_16, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", min_matches=8, coefs=tuple(MH_COEFS_16), band_rows=4
+    )
+
+
 @query(
     "dd_simhash",
     f"""
