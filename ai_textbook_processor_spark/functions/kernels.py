@@ -29,6 +29,7 @@ Text is NFC-normalized and whitespace-collapsed for byte-stable goldens
 
 from __future__ import annotations
 
+import bisect
 import re
 import unicodedata
 from html.parser import HTMLParser
@@ -410,12 +411,21 @@ def stitch_media(
     """
     # anchor position: index into text_spans AFTER which the media goes
     # (-1 = before all text). "last in output order with src_offset <= m".
+    # Source offsets need not be monotonic in output order (reading-order
+    # sort), so the exact equivalent of the linear rescan is: sort
+    # (src, idx), prefix-max the idx, bisect each anchor — O((T+M) log T)
+    # instead of O(T*M), which matters on media-heavy mega docs.
     inserts: list[list[tuple[str, str, str]]] = [[] for _ in range(len(text_spans) + 1)]
+    by_src = sorted((src, i) for i, (_k, _t, src) in enumerate(text_spans))
+    src_keys = [s for s, _ in by_src]
+    prefix_max: list[int] = []
+    hi = -1
+    for _, i in by_src:
+        hi = i if i > hi else hi
+        prefix_max.append(hi)
     for kind, caption, ref, anchor in media_spans:
-        pos = -1
-        for i, (_k, _t, src) in enumerate(text_spans):
-            if src <= anchor:
-                pos = i
+        j = bisect.bisect_right(src_keys, anchor) - 1
+        pos = prefix_max[j] if j >= 0 else -1
         out_kind = "table" if kind in ("table_image", "table") else "figure"
         inserts[pos + 1].append((out_kind, norm_text(caption), ref))
 
