@@ -153,7 +153,10 @@ def extract_documents_salted(
     split/reassemble for mega docs. Output schema and values identical to
     ``extract_documents``."""
     cfg = cfg or CriteriaConfig()
-    size = F.size("spans")
+    # coalesce: under ANSI mode size(NULL) is NULL (not -1), which would
+    # drop null-span docs from BOTH branches; pin them to the fused path so
+    # they emit empty extractions exactly like extract_documents.
+    size = F.coalesce(F.size("spans"), F.lit(-1))
     small = df.where(size <= span_threshold)
     big = df.where(size > span_threshold)
 

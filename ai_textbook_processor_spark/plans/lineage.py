@@ -19,6 +19,7 @@ filter is evaluated post-scan, same semantics).
 
 from __future__ import annotations
 
+import hashlib
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +64,37 @@ def run_extraction(
     extracted_tbl = catalog.table("extracted")
     lineage_tbl = catalog.table("lineage")
 
+    # Guard against resuming the same run_id with different bucketing: a
+    # crash between data commit and lineage append leaves committed-but-
+    # unrecorded buckets, and a resume with a different grouping would
+    # re-append subsets of them under fresh commit ids (duplicate rows).
+    # The run's (n_buckets, buckets_per_commit) are pinned on first launch.
+    runs_tbl = catalog.table("runs")
+    runs = runs_tbl.read(spark)
+    if runs is not None:
+        prev = (
+            runs.where(F.col("run_id") == run_id)
+            .select("n_buckets", "buckets_per_commit")
+            .distinct()
+            .collect()
+        )
+        if prev and (
+            prev[0]["n_buckets"] != n_buckets
+            or prev[0]["buckets_per_commit"] != buckets_per_commit
+        ):
+            raise ValueError(
+                f"run {run_id!r} was started with n_buckets="
+                f"{prev[0]['n_buckets']}, buckets_per_commit="
+                f"{prev[0]['buckets_per_commit']}; resume must use the same"
+            )
+    runs_tbl.append(
+        spark.createDataFrame(
+            [(run_id, n_buckets, buckets_per_commit)],
+            "run_id string, n_buckets int, buckets_per_commit int",
+        ).coalesce(1),
+        commit_id=f"run-{run_id}",  # idempotent: resume no-ops
+    )
+
     done = committed_buckets(spark, catalog, run_id)
     todo = [b for b in range(n_buckets) if b not in done]
     groups = [
@@ -76,7 +108,13 @@ def run_extraction(
         t0 = time.monotonic()
         sub = bucketed.where(F.col("bucket").isin(group))
         out = extract_documents(sub, cfg)
-        commit_id = f"{run_id}-g{min(group):04d}"
+        # commit id derives from the FULL sorted bucket set, not min(group):
+        # two groups covering different buckets can never collide, so the
+        # idempotent no-op only fires for a byte-identical re-run.
+        bucket_key = hashlib.sha256(
+            ",".join(str(b) for b in sorted(group)).encode()
+        ).hexdigest()[:12]
+        commit_id = f"{run_id}-b{bucket_key}"
         extracted_tbl.append(out, commit_id=commit_id, meta={"buckets": group})
         wall_ms = int((time.monotonic() - t0) * 1000)
 

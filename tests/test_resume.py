@@ -80,6 +80,19 @@ def test_rerun_after_completion_is_noop(spark, tmp_path):
     assert s2["docs_total"] == 24  # no duplicate rows appended
 
 
+def test_resume_refuses_changed_bucketing(spark, tmp_path):
+    """Resuming a run_id with different n_buckets/buckets_per_commit must be
+    rejected: a crash between data commit and lineage append plus a
+    re-grouped resume would re-append already-committed buckets (ADVICE r1)."""
+    docs = corpus_df(spark, 24, seed=7)
+    root = str(tmp_path / "t")
+    run_extraction(spark, docs, root, "r", n_buckets=4, buckets_per_commit=2)
+    with pytest.raises(ValueError, match="resume must use the same"):
+        run_extraction(spark, docs, root, "r", n_buckets=4, buckets_per_commit=1)
+    with pytest.raises(ValueError, match="resume must use the same"):
+        run_extraction(spark, docs, root, "r", n_buckets=8, buckets_per_commit=2)
+
+
 def test_idempotent_commit_id(spark, tmp_path):
     """Crash between data commit and lineage append: re-append same id no-ops."""
     docs = corpus_df(spark, 12, seed=3)
