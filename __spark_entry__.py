@@ -35,7 +35,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; extraction
-    pipeline entries (x1_*, x2_*) are rows-only by design — their
-    correctness gate is the golden-fixture pytest suite."""
-    return dict(harness.ORACLES)
+    """DuckDB-equivalent SQL for every query. SQL-expressible ops use
+    hand-written ANSI oracles; the extraction/generation/pipeline entries
+    (x1, x2, g1, tp1) use literal-table oracles whose values are computed
+    independently by the pure-Python golden producer (shared kernels +
+    pandas scorer, zero Spark) over the same parquet tables — see
+    ai_textbook_processor_spark/golden_oracle.py."""
+    from ai_textbook_processor_spark.golden_oracle import literal_oracles
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    out = dict(harness.ORACLES)
+    out.update(literal_oracles(sf_dir))
+    return out
