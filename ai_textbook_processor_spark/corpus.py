@@ -287,15 +287,21 @@ def corpus_df(
     seed: int = 42,
     mega_every: int = 0,
     num_partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """Distributed deterministic corpus: executor-side generation.
 
     ``mega_every > 0`` swaps every k-th document for a mega_doc (skew
     fixture). Result is independent of partitioning (per-doc PRNG).
+    ``start`` offsets the doc index range — disjoint [start, start+n) slices
+    of the same logical corpus, for multi-process scaling runs.
     """
     import pandas as pd  # local import: executors need it lazily
 
-    base = spark.range(0, n_docs, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    base = spark.range(
+        start, start + n_docs, 1,
+        num_partitions or spark.sparkContext.defaultParallelism,
+    )
 
     def gen_batches(it):
         for pdf in it:

@@ -34,6 +34,11 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--input", help="parquet path of documents_interleaved")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--doc-offset", type=int, default=0,
+        help="first doc index of the generated range (disjoint slices of "
+        "one logical corpus across multiple executor JVMs)",
+    )
     ap.add_argument("--mega-every", type=int, default=0)
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--master", default=None)
@@ -56,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--buckets-per-commit", type=int, default=8)
     ap.add_argument(
+        "--sink", choices=("parquet", "noop"), default="parquet",
+        help="noop: execute the full plan but discard output (isolates "
+        "extraction throughput from the writer in bench runs)",
+    )
+    ap.add_argument(
         "--salted",
         action="store_true",
         help="mega-document skew path: chunk-split docs above the span "
@@ -74,7 +84,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.input:
         docs = spark.read.parquet(args.input)
     else:
-        docs = corpus_df(spark, args.n_docs, seed=args.seed, mega_every=args.mega_every)
+        docs = corpus_df(
+            spark, args.n_docs, seed=args.seed, mega_every=args.mega_every,
+            start=args.doc_offset,
+        )
 
     cfg = CriteriaConfig(
         grade_lo=args.grade_lo, grade_hi=args.grade_hi, relaxed_relevance=args.relaxed
@@ -105,6 +118,18 @@ def main(argv: list[str] | None = None) -> int:
         out = extract_documents_salted(docs, cfg, n_buckets=args.buckets)
     else:
         out = extract_documents(docs, cfg, n_buckets=args.buckets)
+
+    if args.sink == "noop":
+        out.write.format("noop").mode("overwrite").save()
+        wall = time.monotonic() - t0
+        n = docs.count()
+        print(json.dumps({
+            "docs_valid": 0, "docs_quarantined": 0, "docs_total": n,
+            "output_spans": 0, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n / wall, 3) if wall > 0 else None,
+        }))
+        spark.stop()
+        return 0
 
     # ONE pass over the data: the valid/quarantine split (P8) becomes a
     # partition column, so the expensive extraction UDF runs exactly once

@@ -13,9 +13,13 @@ from pyspark.sql import SparkSession
 
 # Docs are fat rows (a mega-doc can be MBs); cap Arrow batches below the
 # default 10k records so a batch stays comfortably inside executor memory.
-# 2048 measured best on the extraction workload (512 pays too many
-# round-trips, 10k bloats per-task buffers and GC).
+# 2048 measured best at <=16 lanes (512 pays too many round-trips, 10k
+# bloats per-task buffers and GC). Above 16 lanes, batch handoffs become
+# the JVM's hottest lock path (allocation + PythonRunner signalling per
+# batch x lanes): 8192 measured local[32] at 13-15.7k docs/s stable vs
+# 5.9-13.4k wildly variable at 2048 (r2 sweep, BENCH/BASELINE.md).
 ARROW_MAX_RECORDS_PER_BATCH = 2048
+ARROW_MAX_RECORDS_PER_BATCH_MANY_LANES = 8192
 
 # Above this many local threads, declare spark.task.cpus=2: every task in
 # this engine is a JVM thread PLUS a paired Python worker (Arrow UDF), i.e.
@@ -69,12 +73,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            str(ARROW_MAX_RECORDS_PER_BATCH),
+            os.environ.get(
+                "SPARK_GRAFT_ARROW_BATCH",
+                str(
+                    ARROW_MAX_RECORDS_PER_BATCH_MANY_LANES
+                    if n_threads > TASK_CPUS_THRESHOLD
+                    else ARROW_MAX_RECORDS_PER_BATCH
+                ),
+            ),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
-    if n_threads > TASK_CPUS_THRESHOLD:
+    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS")
+    if task_cpus:
+        b = b.config("spark.task.cpus", task_cpus)
+    elif n_threads > TASK_CPUS_THRESHOLD:
         b = b.config("spark.task.cpus", "2")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,12 +1,27 @@
-"""Two-parallelism scaling bench (the north rule's N vs 4N executors,
-sandbox proxy: local[8] vs local[32] on the same input).
+"""Two-cluster-size scaling bench (the north rule's N vs 4N executors).
 
-Runs the extraction job via spark-submit at both parallelism levels,
-computes throughput scaling efficiency = (docs/sec@32 / docs/sec@8) / 4,
-writes BENCH/scaling.json and refreshes the measured section of
-BENCH/BASELINE.md.
+The sandbox has no real cluster, so two proxies are measured on the same
+deterministic input, both clock-controlled (taskset pinning + spinner load
+on idle CPUs so every level runs at the same all-core clock):
 
-Usage: python tools/bench_scaling.py [n_docs]
+1. **Executor emulation (cluster-faithful)**: J concurrent spark-submit
+   JVMs, each `local[8]` pinned to a disjoint 8-CPU slice, each working a
+   disjoint slice of the same pre-generated corpus — exactly what N
+   separate 8-core executors do. Levels J=1, 2, 4 (8 -> 16 -> 32 CPUs).
+2. **Single-JVM thread scaling (driver's literal proxy)**: one JVM at
+   local[2] / local[8] / local[32].
+
+The timed window is extraction-only (read parquet -> fused extract+score
+UDF -> parquet write): the north rule reads a pre-existing Iceberg table,
+so corpus generation is prepared untimed (r1 generated it inside the timed
+window through a second Python stage, doubling workers per task).
+
+Each level is best-of-N (default 3): the host is a shared-hypervisor VM
+with bursty steal; tools/kernel_mp_control.py is the Spark-free control
+that bounds what the hardware itself allows at each width.
+
+Usage: python tools/bench_scaling.py [n_docs] [reps]
+Writes BENCH/scaling.json.
 """
 
 from __future__ import annotations
@@ -17,85 +32,87 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_onelevel import run_level  # noqa: E402
+
+CORPUS = "/tmp/bench_corpus_scaling"
+CORPUS_SLICED = "/tmp/bench_corpus_scaling_sliced"
 
 
-N_HOST_CPUS = os.cpu_count() or 32
-
-_SPIN = (
-    "import sys\n"
-    "while True:\n"
-    "    x = 0\n"
-    "    for i in range(10**6): x += i\n"
-)
-
-
-def run_level(cores: int, n_docs: int) -> dict:
-    """Emulate an N-core executor: pin the whole Spark process tree to
-    exactly N CPUs (taskset) and keep the remaining CPUs busy with
-    spinner processes so every level runs at the same (all-core) clock —
-    otherwise the host's turbo boost inflates the small level's per-core
-    rate and the measured efficiency reflects frequency scaling, not the
-    engine (measured 2x single-core boost on this box)."""
-    out_dir = f"/tmp/bench_scaling_{cores}"
-    env = dict(os.environ)
-    cmd = [
-        "taskset", "-c", f"0-{cores - 1}",
-        "spark-submit",
-        "--master", f"local[{cores}]",
-        os.path.join(REPO, "ai_textbook_processor_spark", "job.py"),
-        "--n-docs", str(n_docs),
-        "--mega-every", "4000",
-        "--buckets", str(cores * 2),
-        "--warmup",
-        "--out", out_dir,
-    ]
-    env["SPARK_GRAFT_CPUS"] = str(cores)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-
-    spinners = []
-    for cpu in range(cores, N_HOST_CPUS):
-        spinners.append(
-            subprocess.Popen(
-                ["taskset", "-c", str(cpu), sys.executable, "-c", _SPIN],
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
-        )
-    try:
-        r = subprocess.run(
-            cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=3600
-        )
-    finally:
-        for p in spinners:
-            p.kill()
-        for p in spinners:
-            p.wait()
-    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+def prepare_corpus(n_docs: int, slices: int = 4) -> None:
+    """Generate the deterministic corpus parquet once (untimed), plain and
+    slice-partitioned (disjoint doc-index ranges for the multi-JVM levels)."""
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from ai_textbook_processor_spark.session import get_spark
+from ai_textbook_processor_spark.corpus import corpus_df
+from pyspark.sql import functions as F
+spark = get_spark(app_name="gen_scaling_corpus", master="local[{os.cpu_count() or 32}]")
+df = corpus_df(spark, {n_docs}, seed=42, mega_every=4000, num_partitions=64)
+df.write.mode("overwrite").parquet({CORPUS!r})
+idx = F.substring("doc_id", 5, 10).cast("long")
+per = {n_docs} // {slices}
+df.withColumn("slice", F.least((idx / per).cast("int"), F.lit({slices} - 1))) \\
+  .repartition(64, "doc_id").write.mode("overwrite") \\
+  .partitionBy("slice").parquet({CORPUS_SLICED!r})
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
 
 
-def best_of(cores: int, n_docs: int, reps: int = 3) -> dict:
-    runs = [run_level(cores, n_docs) for _ in range(reps)]
-    return max(runs, key=lambda r: r["docs_per_sec"])
+def best_of(reps: int, **kw) -> dict:
+    runs = [run_level(**kw) for _ in range(reps)]
+    best = max(runs, key=lambda r: r["docs_per_sec"])
+    best["all_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
+    best.pop("per_jvm", None)
+    return best
 
 
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 96_000
-    # Two N->4N pairs: 2->8 cores (both inside the host's contention-free
-    # range) and 8->32 threads (the driver's default levels; local-mode JVM
-    # contention above ~16 threads is mitigated by spark.task.cpus=2, see
-    # session.py). Each level best-of-3 to tame host-noise.
-    levels = {c: best_of(c, n_docs) for c in (2, 8, 32)}
-    for c, r in levels.items():
-        print(f"local[{c}]:", json.dumps(r), flush=True)
-    eff_2_8 = (levels[8]["docs_per_sec"] / levels[2]["docs_per_sec"]) / 4.0
-    eff_8_32 = (levels[32]["docs_per_sec"] / levels[8]["docs_per_sec"]) / 4.0
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    prepare_corpus(n_docs)
+
+    # cluster-faithful executor emulation: 1 / 2 / 4 separate 8-core JVMs.
+    # J>1 reads disjoint slices (n_docs/4 each x J); J=1 reads slice 0 so
+    # every level's per-JVM work is identical.
+    exec_levels = {}
+    for j in (1, 2, 4):
+        exec_levels[j] = best_of(
+            reps, cores=8 * j, jvms=j,
+            input_path=(CORPUS_SLICED + "/slice=0") if j == 1 else CORPUS_SLICED,
+        )
+        print(f"executors[{j}x local[8]]:", json.dumps(exec_levels[j]), flush=True)
+
+    # driver's literal proxy: one JVM, thread counts 2 / 8 / 32
+    thread_levels = {}
+    for c in (2, 8, 32):
+        thread_levels[c] = best_of(reps, cores=c, jvms=1, input_path=CORPUS)
+        print(f"threads[local[{c}]]:", json.dumps(thread_levels[c]), flush=True)
+
+    def eff(hi, lo, factor):
+        return round((hi["docs_per_sec"] / lo["docs_per_sec"]) / factor, 3)
+
     result = {
         "n_docs": n_docs,
-        "docs_per_sec": {f"local[{c}]": levels[c]["docs_per_sec"] for c in levels},
-        "wall_sec": {f"local[{c}]": levels[c]["wall_sec"] for c in levels},
-        "scaling_efficiency_2_to_8": round(eff_2_8, 3),
-        "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+        "reps": reps,
+        "protocol": "extraction-only (read parquet -> extract -> write), "
+                    "taskset-pinned, spinner clock control, best-of-reps",
+        "executor_emulation": {
+            "docs_per_sec": {f"{j}x_local8": exec_levels[j]["docs_per_sec"] for j in exec_levels},
+            "all_runs": {f"{j}x_local8": exec_levels[j]["all_docs_per_sec"] for j in exec_levels},
+            "scaling_efficiency_1_to_2": eff(exec_levels[2], exec_levels[1], 2),
+            "scaling_efficiency_1_to_4": eff(exec_levels[4], exec_levels[1], 4),
+            "scaling_efficiency_2_to_4": eff(exec_levels[4], exec_levels[2], 2),
+        },
+        "single_jvm_threads": {
+            "docs_per_sec": {f"local[{c}]": thread_levels[c]["docs_per_sec"] for c in thread_levels},
+            "all_runs": {f"local[{c}]": thread_levels[c]["all_docs_per_sec"] for c in thread_levels},
+            "scaling_efficiency_2_to_8": eff(thread_levels[8], thread_levels[2], 4),
+            "scaling_efficiency_8_to_32": eff(thread_levels[32], thread_levels[8], 4),
+        },
         "target": 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
