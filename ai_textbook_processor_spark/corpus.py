@@ -63,9 +63,13 @@ FAMILIES = (
     "high_grade",
     "profane",
 )
-# mega_doc is generated on demand (gen_doc with family override) — too big to
-# cycle into every bench corpus.
-ALL_FAMILIES = FAMILIES + ("mega_doc",)
+# mega_doc and html_with_media are generated on demand (gen_doc with family
+# override): mega_doc is too big to cycle into every bench corpus, and
+# appending to FAMILIES would shift family_of(idx) under every pinned
+# fixture. html_with_media = E1 x E3 in one document (boilerplate-laden html
+# fragments at staggered source offsets with figures/tables anchored between
+# them — the shape of a real scraped article with inline media).
+ALL_FAMILIES = FAMILIES + ("mega_doc", "html_with_media")
 
 
 def _sentence(rng: random.Random, vocab, n_words: int) -> str:
@@ -239,6 +243,37 @@ def _gen_mega(rng: random.Random) -> list[dict]:
     return spans
 
 
+def _gen_html_with_media(rng: random.Random) -> list[dict]:
+    """Interleaved html + media: n html fragments (each with nav/ad/footer
+    boilerplate around real paragraphs) at source offsets 0, 100, 200, ...;
+    figures/table_images anchored between consecutive fragments, so E1's
+    extracted units and E3's stitching must interleave them correctly."""
+    spans: list[dict] = []
+    n_frags = rng.randint(2, 4)
+    for i in range(n_frags):
+        nav = "".join(
+            f'<li><a href="/{w}">{w}</a></li>'
+            for w in rng.sample(_VOCAB_SIMPLE[:12], 4)
+        )
+        title = _sentence(rng, _VOCAB_MEDIUM, 4).rstrip(".")
+        paras = "".join(
+            f"<p>{_paragraph(rng, _VOCAB_MEDIUM, rng.randint(2, 3))}</p>"
+            for _ in range(rng.randint(1, 3))
+        )
+        footer = "<footer><p>terms privacy sitemap contact</p></footer>"
+        html = (
+            f"<html><body><nav><ul>{nav}</ul></nav>"
+            f"<article><h2>{title}</h2>{paras}</article>{footer}</body></html>"
+        )
+        spans.append(_span("html", html, "", i * 100))
+    for j in range(rng.randint(1, n_frags)):
+        kind = "figure" if j % 2 == 0 else "table_image"
+        # anchor strictly between fragment j and j+1 (or after the last)
+        anchor = j * 100 + rng.randint(1, 99)
+        spans.append(_span(kind, f"inline media {j}", f"img-{j:04d}", anchor))
+    return spans
+
+
 _GENERATORS = {
     "html_article": _gen_html_article,
     "html_linkfarm": _gen_html_linkfarm,
@@ -253,6 +288,7 @@ _GENERATORS = {
     "high_grade": lambda r: _gen_text(r, _VOCAB_COMPLEX, 3),
     "profane": _gen_profane,
     "mega_doc": _gen_mega,
+    "html_with_media": _gen_html_with_media,
 }
 
 _SUBJECTS = ("math", "science", "history", "language")

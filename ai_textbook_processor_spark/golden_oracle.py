@@ -229,6 +229,33 @@ def tp1_oracle(sf_dir: str) -> str:
     return _values_sql(lits, ["stage", "n"])
 
 
+def s4_oracle(sf_dir: str) -> str:
+    """Pure twin of harness.s4_audio_transcribe (same pack/transcribe
+    kernels driven without Spark)."""
+    from .operators.multimodal import pack_audio, transcribe_payload
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pydict()
+    lits = []
+    for doc_id, n_chars in zip(t["doc_id"], t["n_chars"]):
+        if doc_id >= 50:
+            continue
+        aid = str(doc_id)
+        _rate, dur, segs = transcribe_payload(
+            pack_audio(aid, 16000, int(16000 * (int(n_chars) % 5 + 1)))
+        )
+        lits.append(
+            (
+                _sql_str(aid),
+                f"CAST({dur} AS INTEGER)",
+                f"CAST({len(segs)} AS BIGINT)",
+                _sql_str(" ".join(s["token"] for s in segs)),
+            )
+        )
+    return _values_sql(lits, ["asset_id", "duration_ms", "n_segments", "transcript"])
+
+
 @functools.lru_cache(maxsize=4)
 def literal_oracles(sf_dir: str) -> dict[str, str]:
     return {
@@ -236,4 +263,5 @@ def literal_oracles(sf_dir: str) -> dict[str, str]:
         "x2_extract_span_stats": x2_oracle(sf_dir),
         "g1_generate_content": g1_oracle(sf_dir),
         "tp1_clean_corpus_funnel": tp1_oracle(sf_dir),
+        "s4_audio_transcribe": s4_oracle(sf_dir),
     }

@@ -1644,6 +1644,42 @@ def g1_generate_content(spark, sf_dir):
     )
 
 
+@query("s4_audio_transcribe")  # literal oracle via golden_oracle.py
+def s4_audio_transcribe(spark, sf_dir):
+    """S4 audio modality end-to-end: deterministic ATPA audio assets derived
+    from the documents table -> Whisper-shaped segmentation + transcript
+    (operators.multimodal.transcribe_assets; reference agents/helper.py:44-54
+    pytube+whisper, with the speech model behind the documented codec seam)."""
+    import pandas as pd
+
+    from .operators.multimodal import pack_audio, transcribe_assets
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
+        F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": [
+                        pack_audio(a, 16000, int(16000 * (int(n) % 5 + 1)))
+                        for a, n in zip(pdf["asset_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(mk, "asset_id string, content binary")
+    t = transcribe_assets(assets)
+    return t.select(
+        "asset_id",
+        "duration_ms",
+        F.size("segments").cast("long").alias("n_segments"),
+        "transcript",
+    )
+
+
 @query("tp1_clean_corpus_funnel")  # rows-only: composed multi-stage pipeline
 def tp1_clean_corpus_funnel(spark, sf_dir):
     """The full training-data pipeline (extract -> quality/lang gate ->

@@ -153,3 +153,124 @@ def extract_asset_features(assets: DataFrame) -> DataFrame:
     """The multimodal pipeline stage: narrow mapInPandas, no shuffle; at
     scale the asset table is bucket-partitioned by asset_id like documents."""
     return assets.mapInPandas(decode_features_batches, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# S4 — audio modality (reference: pytube download + whisper 'base' fallback,
+# agents/helper.py:44-54). No speech model ships in this container, so the
+# decode is split exactly like images: REAL segmentation/windowing/feature
+# math over a deterministic in-repo payload (magic b'ATPA'), NotImplemented
+# quarantine for foreign codecs (mp3/wav/...). Output mirrors Whisper's
+# segment model: ordered (start_ms, end_ms, token) rows per asset.
+# ---------------------------------------------------------------------------
+
+_AUDIO_MAGIC = b"ATPA"
+_SEGMENT_MS = 1000  # one pseudo-token per second of audio
+_TOKENS = (
+    "the plant uses light and water to grow strong in every season "
+    "students watch energy move through living systems each day"
+).split()
+
+
+def pack_audio(asset_id: str, sample_rate: int = 16000, n_samples: int = 48000) -> bytes:
+    """Deterministic synthetic audio payload: 12-byte header + xorshift
+    byte stream standing in for PCM (capped sample, like pack_asset)."""
+    seed = int.from_bytes(hashlib.md5(asset_id.encode()).digest()[4:8], "big") or 1
+    n = min(n_samples, 8192)
+    out = bytearray(_AUDIO_MAGIC + struct.pack(">II", sample_rate, n_samples))
+    x = seed
+    for _ in range(n):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        out.append(x & 0xFF)
+    return bytes(out)
+
+
+def parse_audio_header(content: bytes) -> tuple[int, int]:
+    if content is None or len(content) < 12 or content[:4] != _AUDIO_MAGIC:
+        raise NotImplementedError(
+            "audio codecs / speech models not available in this environment; "
+            "only the in-repo synthetic ATPA format is decodable"
+        )
+    rate, n_samples = struct.unpack(">II", content[4:12])
+    return rate, n_samples
+
+
+AUDIO_SEGMENT_TYPE = T.StructType(
+    [
+        T.StructField("start_ms", T.IntegerType()),
+        T.StructField("end_ms", T.IntegerType()),
+        T.StructField("token", T.StringType()),
+    ]
+)
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("segments", T.ArrayType(AUDIO_SEGMENT_TYPE), True),
+        T.StructField("transcript", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def transcribe_payload(content: bytes) -> tuple[int, int, list[dict]]:
+    """Deterministic 'transcription': fixed 1 s segmentation; each segment's
+    token is chosen by the energy of its byte window (pure function of the
+    payload — the Whisper-shaped seam a real model would fill)."""
+    rate, n_samples = parse_audio_header(content)
+    duration_ms = int(n_samples * 1000 / max(rate, 1))
+    payload = content[12:]
+    n_segs = max(1, duration_ms // _SEGMENT_MS)
+    segs = []
+    for i in range(n_segs):
+        lo = i * len(payload) // n_segs
+        hi = max(lo + 1, (i + 1) * len(payload) // n_segs)
+        window = payload[lo:hi]
+        energy = sum(window) // max(len(window), 1)
+        segs.append(
+            {
+                "start_ms": i * _SEGMENT_MS,
+                "end_ms": min((i + 1) * _SEGMENT_MS, duration_ms),
+                "token": _TOKENS[energy % len(_TOKENS)],
+            }
+        )
+    return rate, duration_ms, segs
+
+
+def transcribe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: segment + pseudo-transcribe; failures land in
+    the error column (quarantine channel), never raise out of the batch."""
+    cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for rec in pdf.itertuples(index=False):
+            base = {
+                "asset_id": rec.asset_id, "sample_rate": None,
+                "duration_ms": None, "segments": None, "transcript": None,
+                "error": None,
+            }
+            try:
+                rate, dur, segs = transcribe_payload(rec.content)
+                base.update(
+                    {
+                        "sample_rate": rate,
+                        "duration_ms": dur,
+                        "segments": segs,
+                        "transcript": " ".join(s["token"] for s in segs),
+                    }
+                )
+            except NotImplementedError as e:
+                base["error"] = str(e)
+            rows.append(base)
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def transcribe_assets(assets: DataFrame) -> DataFrame:
+    """S4 as a table stage: (asset_id, content) -> Whisper-shaped segment
+    rows + joined transcript; narrow, no shuffle. Downstream the transcript
+    feeds the same extract/validate pipeline as any text document (the
+    reference pipes whisper output into its text flow the same way)."""
+    return assets.mapInPandas(transcribe_batches, schema=TRANSCRIPT_SCHEMA)
