@@ -92,6 +92,28 @@ def main() -> int:
         thread_levels[c] = best_of(reps, cores=c, jvms=1, input_path=CORPUS)
         print(f"threads[local[{c}]]:", json.dumps(thread_levels[c]), flush=True)
 
+    # same series under UNIFORM task sizing (task.cpus=2 at every width —
+    # the standard sizing for Python-heavy stages; the default policy only
+    # applies it above 16 lanes, which makes the levels heterogeneous:
+    # local[8] runs 8 workers per 8 CPUs, local[32] runs 16 per 32)
+    uniform_levels = {}
+    for c in (2, 8, 32):
+        uniform_levels[c] = best_of(
+            reps, cores=c, jvms=1, input_path=CORPUS,
+            env_overrides={"SPARK_GRAFT_TASK_CPUS": "2"},
+        )
+        print(f"uniform_tc2[local[{c}]]:", json.dumps(uniform_levels[c]), flush=True)
+
+    # Spark-free control: the REAL kernel under plain multiprocessing at
+    # 8 vs 32 procs — bounds what the host itself allows at each width
+    ctl = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "kernel_mp_control.py"), "2500"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    ctl_lines = [json.loads(ln) for ln in ctl.stdout.splitlines() if ln.startswith("{")]
+    control = ctl_lines[-1] if ctl_lines else {}
+    print("control:", json.dumps(ctl_lines), flush=True)
+
     def eff(hi, lo, factor):
         return round((hi["docs_per_sec"] / lo["docs_per_sec"]) / factor, 3)
 
@@ -113,6 +135,13 @@ def main() -> int:
             "scaling_efficiency_2_to_8": eff(thread_levels[8], thread_levels[2], 4),
             "scaling_efficiency_8_to_32": eff(thread_levels[32], thread_levels[8], 4),
         },
+        "single_jvm_uniform_task_cpus_2": {
+            "docs_per_sec": {f"local[{c}]": uniform_levels[c]["docs_per_sec"] for c in uniform_levels},
+            "all_runs": {f"local[{c}]": uniform_levels[c]["all_docs_per_sec"] for c in uniform_levels},
+            "scaling_efficiency_2_to_8": eff(uniform_levels[8], uniform_levels[2], 4),
+            "scaling_efficiency_8_to_32": eff(uniform_levels[32], uniform_levels[8], 4),
+        },
+        "kernel_mp_control": control,
         "target": 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
