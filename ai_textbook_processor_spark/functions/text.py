@@ -79,6 +79,33 @@ def word_hash(col: str | Column) -> Column:
     )
 
 
+def unigram_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document unigram word entropy (bits) — the repetition /
+    word-salad signal a quality filter thresholds on (boilerplate and
+    keyword-stuffed docs have low entropy for their length).
+
+    Closed form avoids a second pass: H = log2(N) - (1/N) * sum(c*log2(c))
+    over per-word counts c, so the plan is exactly two map-side-combined
+    shuffles: (id, word) -> counts, then id -> (N, sum c*log2 c).
+    """
+    words = df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    counts = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n").cast("long").alias("n_words"),
+        F.round(F.log2("n") - F.col("s") / F.col("n"), 5).alias("entropy"),
+    )
+
+
 def rolling_fingerprints(col: str | Column, n: int = 3) -> Column:
     """Array of hashed n-gram (word) shingles — the MinHash input."""
     c = _c(col)

@@ -1559,6 +1559,118 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 @query(
+    "sim_ivf_multiprobe",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cemb,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS cnrm
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ), vecs AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS nrm
+      FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, label, embedding, nrm, cid FROM (
+        SELECT v.vec_id, v.label, v.embedding, v.nrm, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_sum([CAST(v.embedding[x] AS DOUBLE) * CAST(c.cemb[x] AS DOUBLE)
+                                    for x in generate_series(1, {_EMB_DIM})])
+                          / (v.nrm * c.cnrm) DESC, c.cid
+               ) AS rnk
+        FROM vecs v CROSS JOIN cents c
+      ) WHERE rnk = 1
+    ), qcells AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY list_sum([CAST(v.embedding[x] AS DOUBLE) * CAST(c.cemb[x] AS DOUBLE)
+                                    for x in generate_series(1, {_EMB_DIM})])
+                          / (v.nrm * c.cnrm) DESC, c.cid
+               ) AS rnk
+        FROM vecs v CROSS JOIN cents c WHERE v.vec_id = 0
+      ) WHERE rnk <= 2
+    ), q AS (
+      SELECT embedding AS qv, nrm AS qnrm FROM vecs WHERE vec_id = 0
+    )
+    SELECT vec_id, label, cosine FROM (
+      SELECT a.vec_id, a.label,
+             round(list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                             for x in generate_series(1, {_EMB_DIM})]) / (a.nrm * qnrm), 5) AS cosine,
+             row_number() OVER (
+               ORDER BY list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                                  for x in generate_series(1, {_EMB_DIM})]) / (a.nrm * qnrm) DESC,
+                        a.vec_id
+             ) AS rn
+      FROM assigned a, q
+      WHERE a.cid IN (SELECT cid FROM qcells) AND a.vec_id != 0
+    ) WHERE rn <= 5
+    """,
+)
+def sim_ivf_multiprobe(spark, sf_dir):
+    """IVF ANN with multiprobe (probe the query's top-2 cells, exact rerank
+    inside them) — the recall/latency knob a 10^12-vector deployment tunes:
+    probing p of K cells scans p/K of the data and recovers neighbors that
+    straddle the query's cell boundary. Same broadcast/partial-agg shapes
+    as sim_ivf_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    cents = e.where(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("cid"),
+        emb.alias("cemb"),
+        F.sqrt(dot(emb, emb)).alias("cnrm"),
+    )
+    vecs = e.select(
+        "vec_id", "label", emb.alias("emb"), F.sqrt(dot(emb, emb)).alias("nrm")
+    )
+    crossed = vecs.crossJoin(F.broadcast(cents))
+    sim_c = dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    key = F.struct(F.col("simc").alias("s"), (-F.col("cid")).alias("c"))
+    assigned = (
+        crossed.withColumn("simc", sim_c)
+        .groupBy("vec_id")
+        .agg(F.max_by(F.struct("label", "emb", "nrm", "cid"), key).alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.label").alias("label"),
+            F.col("_b.emb").alias("emb"),
+            F.col("_b.nrm").alias("nrm"),
+            F.col("_b.cid").alias("cid"),
+        )
+    )
+    qcells = (
+        crossed.where(F.col("vec_id") == 0)
+        .withColumn("simc", sim_c)
+        .orderBy(F.col("simc").desc(), "cid")
+        .limit(2)
+        .select("cid")
+    )
+    q = vecs.where(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cand = (
+        assigned.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qcells), "cid", "left_semi")
+        .crossJoin(F.broadcast(q))
+    )
+    cos = dot(F.col("emb"), F.col("qv")) / (F.col("nrm") * F.col("qnrm"))
+    return (
+        cand.withColumn("cos_raw", cos)
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(5)
+        .select("vec_id", "label", F.round("cos_raw", 5).alias("cosine"))
+    )
+
+
+@query(
     "txt_quality_score",
     """
     SELECT source, round(avg(q), 6) AS avg_quality FROM (
@@ -1642,6 +1754,30 @@ def g1_generate_content(spark, sf_dir):
         F.size("generated.questionAnswer").cast("long").alias("n_qa"),
         F.length("generated.importantNotes").cast("long").alias("notes_len"),
     )
+
+
+@query(
+    "txt_unigram_entropy",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE doc_id < 40
+    ), counts AS (
+      SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 5) AS entropy
+    FROM counts GROUP BY doc_id
+    """,
+)
+def txt_unigram_entropy(spark, sf_dir):
+    """Unigram word entropy per document (functions.text.unigram_entropy):
+    the repetition signal for quality filtering — closed-form H = log2(N)
+    - sum(c*log2 c)/N, two map-side-combined shuffles, no second pass."""
+    from .functions.text import unigram_entropy
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    return unigram_entropy(d, "doc_id", "text")
 
 
 @query("s4_audio_transcribe")  # literal oracle via golden_oracle.py
