@@ -61,6 +61,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--buckets-per-commit", type=int, default=8)
     ap.add_argument(
+        "--clean-corpus",
+        action="store_true",
+        help="run the full training-data pipeline (extract -> quality/lang "
+        "gate -> exact dedup -> MinHash-LSH near-dedup) instead of plain "
+        "extraction; writes the cleaned corpus and prints the funnel",
+    )
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument(
         "--sink", choices=("parquet", "noop"), default="parquet",
         help="noop: execute the full plan but discard output (isolates "
         "extraction throughput from the writer in bench runs)",
@@ -107,6 +115,34 @@ def main(argv: list[str] | None = None) -> int:
         )
         summary["wall_sec"] = round(time.monotonic() - t0, 3)
         print(json.dumps(summary))
+        spark.stop()
+        return 0
+
+    if args.clean_corpus:
+        from ai_textbook_processor_spark.plans.training_pipeline import (
+            clean_corpus,
+        )
+
+        cleaned, funnel = clean_corpus(docs, cfg, min_quality=args.min_quality)
+        cleaned.drop("text").write.mode("overwrite").parquet(
+            f"{args.out}/cleaned"
+        )
+        wall = time.monotonic() - t0
+        stages = {r["stage"]: int(r["n"]) for r in funnel.collect()}
+        print(
+            json.dumps(
+                {
+                    "mode": "clean_corpus",
+                    "funnel": stages,
+                    "docs_total": stages.get("input", 0),
+                    "docs_kept": stages.get("after_near_dedup", 0),
+                    "wall_sec": round(wall, 3),
+                    "docs_per_sec": (
+                        round(stages.get("input", 0) / wall, 3) if wall > 0 else None
+                    ),
+                }
+            )
+        )
         spark.stop()
         return 0
 
