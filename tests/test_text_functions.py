@@ -52,3 +52,36 @@ def test_word_hash_matches_duckdb(spark):
             "SELECT CAST(CONCAT('0x', substr(md5(?), 1, 12)) AS BIGINT) % 2147483647", [w]
         ).fetchone()
         assert got[w] == exp, w
+
+
+def test_unigram_entropy_matches_pure(spark):
+    """Spark closed-form entropy == the direct -sum(p log2 p) definition
+    (within float tolerance; aggregation order differs)."""
+    import math
+    import re
+    from collections import Counter
+
+    texts = [
+        "the the the the",                     # H = 0
+        "a b c d",                             # H = 2 exactly
+        "The quick brown fox jumps over the lazy dog the end.",
+        "aaa bbb aaa ccc bbb aaa",
+        "",                                    # no words -> no row
+        "x" * 50,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in TX.unigram_entropy(df).collect()}
+
+    for i, t in enumerate(texts):
+        words = re.findall(r"[a-z]+", t.lower())
+        if not words:
+            assert i not in got
+            continue
+        n = len(words)
+        c = Counter(words)
+        h = -sum((v / n) * math.log2(v / n) for v in c.values())
+        assert got[i]["n_words"] == n
+        assert abs(got[i]["entropy"] - h) < 1e-4, (t, got[i]["entropy"], h)
+    assert got[0]["entropy"] == 0.0 and got[1]["entropy"] == 2.0
