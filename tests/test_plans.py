@@ -20,6 +20,18 @@ def test_flagship_plan_is_fused_and_shuffle_free(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_parquet_input_extraction_shuffle_free(spark, tmp_path):
+    """The production shape (north rule: read a pre-existing table ->
+    extract): parquet scan feeds the fused UDF with zero Exchange and a
+    spans-pruned read schema."""
+    p = str(tmp_path / "docs")
+    corpus_df(spark, 8, seed=1).write.parquet(p)
+    plan_str = plan(extract_documents(spark.read.parquet(p)))
+    assert plan_str.count("Exchange") == 0
+    assert plan_str.count("ArrowEvalPython") == 1
+    assert "FileScan parquet" in plan_str
+
+
 def test_point_lookup_pushdown(spark):
     p = plan(harness.QUERIES["s9_point_lookup"](spark, SF))
     assert "FileScan parquet" in p
