@@ -741,6 +741,39 @@ def dd_minhash_lsh16(spark, sf_dir):
     )
 
 
+def _dup_clusters_oracle() -> str:
+    """Recursive-CTE connected components over the dd_minhash_lsh pair set
+    (reuses that oracle's SQL verbatim as the edge source)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({ORACLES['dd_minhash_lsh']}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT u FROM edges
+    ), reach(u, label) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u
+    """
+
+
+@query("dd_dup_clusters", _dup_clusters_oracle())
+def dd_dup_clusters(spark, sf_dir):
+    """Duplicate clustering: connected components over the MinHash-LSH
+    near-dup pairs via iterative min-label propagation
+    (operators.dedup.duplicate_clusters) — the cluster-canonical dedup a
+    crawl-scale corpus needs (drop-the-higher-id over-deletes on chains).
+    Oracle: recursive CTE reachability in DuckDB over the same pair set."""
+    from .operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", min_matches=3)
+    return duplicate_clusters(pairs)
+
+
 @query(
     "dd_simhash",
     f"""

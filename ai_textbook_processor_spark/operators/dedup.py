@@ -184,6 +184,60 @@ def simhash_signatures(
     return g.select(id_col, sim.cast("long").alias("simhash"))
 
 
+def duplicate_clusters(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id)
+    with cluster_id = the component's minimum doc id.
+
+    Dropping ``doc_b`` of every pair (the r1 losers heuristic) over-deletes
+    on chains (a~b, b~c deletes b AND c even though c may only resemble b);
+    the correct dedup keeps exactly one canonical doc per CLUSTER. Iterative
+    min-label propagation: each round every node takes the min label among
+    itself and its neighbors — converges in O(diameter) rounds (near-dup
+    clusters are shallow), each round is one join + one map-side-combined
+    groupBy shuffle on the id key; nothing ever materializes on the driver
+    but the per-round convergence count.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    labels.persist()
+    labels.count()
+    for _ in range(max_iter):
+        nb = (
+            edges.alias("e")
+            .join(
+                labels.select(
+                    F.col("u").alias("lu"), F.col("label").alias("ll")
+                ),
+                F.col("e.v") == F.col("lu"),
+            )
+            .select(F.col("e.u").alias("u"), F.col("ll").alias("label"))
+        )
+        new_labels = (
+            labels.select("u", "label").union(nb)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels.persist()
+        old = labels.select(F.col("u").alias("ou"), F.col("label").alias("ol"))
+        changed = (
+            new_labels.join(old, F.col("u") == F.col("ou"))
+            .where(F.col("label") != F.col("ol"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, top_k: int | None = 20, max_df: int | None = None,

@@ -51,6 +51,20 @@ def test_planted_near_dups_found_far_pairs_rejected(spark):
     assert not any("far" in a or "far" in b for a, b in got), got
 
 
+def test_duplicate_clusters_chain_transitivity(spark):
+    """a~b and b~c must land in ONE cluster labeled min(a,b,c), even with
+    no direct a~c pair (the r1 drop-doc_b heuristic mishandled chains);
+    disjoint pairs stay in separate clusters."""
+    from ai_textbook_processor_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21), (30, 31), (31, 30)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
 def test_band_rows_must_divide_k(spark):
     df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
     try:
