@@ -53,6 +53,13 @@ def clean_corpus(
     crawl-scale corpus losers are O(duplicate docs) — easily 20-50% of all
     doc_ids, far beyond broadcast limits. A shuffle anti-join on a slim key
     column is cheap, and AQE still broadcasts when the set actually fits.
+
+    Near-dup selection note: at the default ``near_dup_min_matches == K``
+    (full-signature equality) pair relations are transitive, so the
+    one-pass drop-doc_b heuristic equals cluster-canonical dedup. For
+    looser thresholds (min_matches < K) use
+    ``operators.dedup.duplicate_clusters`` (connected components) and keep
+    ``cluster_id == doc_id`` — chains would otherwise over-delete.
     """
     spark = docs.sparkSession
     extracted = extract_documents(docs, cfg).withColumn(
