@@ -30,9 +30,15 @@ Text is NFC-normalized and whitespace-collapsed for byte-stable goldens
 from __future__ import annotations
 
 import bisect
+import os
 import re
 import unicodedata
+from html import unescape as _html_unescape
 from html.parser import HTMLParser
+
+# 'fast' (default): regex tokenizer with automatic per-fragment fallback to
+# stdlib; 'stdlib': force the stdlib parser everywhere (golden producer).
+_HTML_PARSER_MODE = os.environ.get("SPARK_GRAFT_HTML_PARSER", "fast")
 
 # ---------------------------------------------------------------------------
 # Tunables (pinned by golden fixtures — change these and goldens change).
@@ -170,6 +176,112 @@ class _DomBuilder(HTMLParser):
             self._stack[-1].content.append((self._link_depth > 0, data))
 
 
+# ---------------------------------------------------------------------------
+# Fast HTML tokenizer (r2): stdlib HTMLParser.feed is ~50% of kernel time.
+# This tokenizer drives the SAME _DomBuilder handlers (only the tokenization
+# layer differs) and is exactly equivalent on clean constructs because
+# HTMLParser with convert_charrefs=True also just calls html.unescape on
+# each inter-tag text run. Anything it cannot handle with certainty
+# (unmatched '<', unclosed quotes/comments, CDATA/PI edge forms) raises
+# _FastBail and the WHOLE fragment re-parses with stdlib — equality by
+# construction for weird inputs, speed for the clean majority.
+# Equality is regression-tested across every corpus family and adversarial
+# fragments in tests/test_fast_html.py; force stdlib with
+# SPARK_GRAFT_HTML_PARSER=stdlib.
+# ---------------------------------------------------------------------------
+
+_FAST_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)((?:\"[^\"]*\"|'[^']*'|[^\"'>])*)>"
+)
+_RAWTEXT_TAGS = ("script", "style")
+
+
+class _FastBail(Exception):
+    pass
+
+
+def _fast_feed(builder: "_DomBuilder", html: str) -> None:
+    """Tokenize and replay events into the builder; raise _FastBail on any
+    construct whose stdlib semantics we will not replicate bit-for-bit."""
+    unescape = _html_unescape
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            data = html[i:]
+            builder.handle_data(unescape(data) if "&" in data else data)
+            break
+        if lt > i:
+            data = html[i:lt]
+            builder.handle_data(unescape(data) if "&" in data else data)
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt == "!":
+            if html.startswith("<!--", lt):
+                end = html.find("-->", lt + 4)
+                if end < 0:
+                    raise _FastBail("unclosed comment")
+                i = end + 3
+                continue
+            if html.startswith("<![", lt):
+                raise _FastBail("CDATA/marked section")
+            end = html.find(">", lt)  # doctype / declaration: skip
+            if end < 0:
+                raise _FastBail("unclosed declaration")
+            i = end + 1
+            continue
+        if nxt == "?":
+            end = html.find(">", lt)  # processing instruction: skip
+            if end < 0:
+                raise _FastBail("unclosed PI")
+            i = end + 1
+            continue
+        m = _FAST_TAG_RE.match(html, lt)
+        if m is None:
+            raise _FastBail("bogus '<'")
+        closing, name, attrs = m.group(1), m.group(2).lower(), m.group(3)
+        # stdlib's tagfind is more permissive about name characters; if the
+        # "attrs" run starts with a non-separator, stdlib would have read a
+        # longer tag name than we did — bail rather than diverge
+        if attrs and attrs[0] not in " \t\n\r\f/":
+            raise _FastBail("ambiguous tag name boundary")
+        i = m.end()
+        if closing:
+            if attrs.strip():
+                raise _FastBail("end tag with attributes")
+            builder.handle_endtag(name)
+        elif attrs.rstrip().endswith("/"):
+            builder.handle_startendtag(name, [])
+        else:
+            builder.handle_starttag(name, [])
+            if name in _RAWTEXT_TAGS:
+                # raw-text content: no tags, no charref conversion (stdlib
+                # cdata mode behaves identically)
+                close = html.lower().find(f"</{name}", i)
+                if close < 0:
+                    raise _FastBail("unclosed raw-text element")
+                if close > i:
+                    builder.handle_data(html[i:close])
+                gt = html.find(">", close)
+                if gt < 0:
+                    raise _FastBail("unclosed raw-text end tag")
+                builder.handle_endtag(name)
+                i = gt + 1
+
+
+def _build_dom(html: str) -> _Node:
+    if _HTML_PARSER_MODE != "stdlib":
+        builder = _DomBuilder()
+        try:
+            _fast_feed(builder, html)
+            return builder.root
+        except _FastBail:
+            pass  # fall through to the stdlib parser
+    builder = _DomBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
 def _collect_text(node: _Node) -> tuple[str, int]:
     """All descendant text (document order) and the char count inside links."""
     parts: list[str] = []
@@ -227,15 +339,12 @@ def extract_html_fragment(html: str) -> list[tuple[str, str]]:
     (``config/configuration.py:151-165``); this kernel is the deterministic
     replacement demanded by the north star.
     """
-    builder = _DomBuilder()
     try:
-        builder.feed(html)
-        builder.close()
+        root = _build_dom(html)
     except Exception:
         # Tolerant: unparseable fragment -> treat as plain text.
         t = norm_text(re.sub(r"<[^>]*>", " ", html))
         return [("body", t)] if len(t) >= MIN_BODY_CHARS else []
-    root = builder.root
 
     # Leaf blocks: block-level elements with no block children.
     blocks: list[tuple[_Node, str, str, float]] = []  # (node, kind, text, ld)

@@ -1,0 +1,106 @@
+"""Fast HTML tokenizer == stdlib HTMLParser, extraction-output equality.
+
+The fast path (kernels._fast_feed) drives the same _DomBuilder handlers;
+anything it can't tokenize with certainty bails to stdlib for the whole
+fragment. These tests pin output equality on every corpus family, on
+targeted nasty fragments (including the deliberate bail cases), and on
+derandomized fuzz — so the speedup can never drift the pinned semantics."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ai_textbook_processor_spark.corpus import ALL_FAMILIES, gen_doc
+from ai_textbook_processor_spark.functions import kernels as K
+
+
+def _both(html: str):
+    old = K._HTML_PARSER_MODE
+    try:
+        K._HTML_PARSER_MODE = "fast"
+        fast = K.extract_html_fragment(html)
+        K._HTML_PARSER_MODE = "stdlib"
+        std = K.extract_html_fragment(html)
+    finally:
+        K._HTML_PARSER_MODE = old
+    return fast, std
+
+
+def _doc_both(spans):
+    old = K._HTML_PARSER_MODE
+    try:
+        K._HTML_PARSER_MODE = "fast"
+        fast = K.extract_document(spans)
+        K._HTML_PARSER_MODE = "stdlib"
+        std = K.extract_document(spans)
+    finally:
+        K._HTML_PARSER_MODE = old
+    return fast, std
+
+
+def test_equal_on_every_family():
+    for fam in ALL_FAMILIES:
+        for idx in range(0, 48, 3):
+            d = gen_doc(idx, 42, family=fam)
+            fast, std = _doc_both(d["spans"])
+            assert fast == std, (fam, idx)
+
+
+NASTY = [
+    "<p>a &amp; b &#65; &nbsp; &notareal; &lt tag</p>",
+    "<P CLASS='X'>UPPER <B>bold</B></P>",
+    '<div title="a > b"><p>quoted gt in attr stays one tag</p></div>',
+    "<script>if (a<b) { document.write('<div>not a tag</div>'); }</script><p>after script</p>",
+    "<style>p > a { color: red }</style><p>after style</p>",
+    "<!-- <p>commented out</p> --><p>real</p>",
+    "<p>unclosed paragraph<p>second implies close of first</p>",
+    "<ul><li>one<li>two<li>three</ul>",
+    "<table><tr><td>a<td>b<tr><td>c</table>",
+    "<p>line<br/>break<br>twice</p>",
+    "<p>stray < bracket and 1<2 math</p>",            # bogus '<' -> bail path
+    "<![CDATA[ raw <p>stuff</p> ]]><p>after cdata</p>",  # bail path
+    "</p class='x'><p>endtag with attrs</p>",            # bail path
+    "<a@weird>link-ish</a@weird><p>tag-name edge</p>",   # bail path
+    "<?php echo '<p>pi</p>'; ?><p>after pi</p>",
+    "<!DOCTYPE html><html><body><p>doc</p></body></html>",
+    "<div><p>outer <a href='/x'>link text</a> tail</p></div>",
+    "<p>entity without semicolon &amp here</p>",
+    "<p>é café &eacute; 中文</p>",
+    "",
+    "plain text, no tags at all, long enough to be a body block maybe",
+    "<p>" + "x" * 5000 + "</p>",
+    "<script>never closed <p>rest swallowed",            # bail: unclosed raw
+    "<!-- never closed comment <p>gone",                 # bail: unclosed comment
+]
+
+
+def test_equal_on_nasty_fragments():
+    for html in NASTY:
+        fast, std = _both(html)
+        assert fast == std, html
+
+
+@settings(max_examples=120, deadline=None, derandomize=True)
+@given(
+    st.text(
+        alphabet=st.sampled_from(
+            list("<>/&;#abcdep!?-=\"' \né中")
+        ),
+        max_size=200,
+    )
+)
+def test_equal_on_fuzzed_html(s):
+    fast, std = _both(s)
+    assert fast == std, repr(s)
+
+
+def test_fast_path_actually_taken_on_clean_html():
+    """The clean-article fragment must parse via the fast tokenizer (no
+    bail) — guard against a regression that silently routes everything to
+    stdlib and loses the speedup."""
+    d = gen_doc(0, 42, family="html_article")
+    html = d["spans"][0]["text"]
+    b = K._DomBuilder()
+    K._fast_feed(b, html)  # must not raise _FastBail
+    # and the tree it builds extracts identically
+    fast, std = _both(html)
+    assert fast == std and len(fast) > 0
