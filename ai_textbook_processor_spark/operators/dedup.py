@@ -199,6 +199,13 @@ def duplicate_clusters(
     clusters are shallow), each round is one join + one map-side-combined
     groupBy shuffle on the id key; nothing ever materializes on the driver
     but the per-round convergence count.
+
+    The returned frame reads the final round's persisted labels (each
+    round persists its result and unpersists the previous one, so lineage
+    never re-runs earlier rounds); callers that keep the result long-term
+    should write it out and let the cache age out. On a real cluster,
+    checkpoint every ~10 rounds if components can be deep (crawl dedup
+    clusters are shallow: near-dup similarity is close to transitive).
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
