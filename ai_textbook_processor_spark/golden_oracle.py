@@ -82,13 +82,25 @@ def _derived_docs(sf_dir: str) -> list[tuple[str, list[dict]]]:
 
 @functools.lru_cache(maxsize=4)
 def _extracted(sf_dir: str):
-    """(doc_id, extracted spans, joined text) + the scored frame, once."""
+    """(doc_id, extracted spans, joined text) + the scored frame, once.
+
+    Forces the STDLIB HTML parser: the golden producer must stay
+    independent of the engine's fast-tokenizer path, so if the fast path
+    ever diverged, the driver's oracle comparison would catch it.
+    """
+    from .functions import kernels as K
+
     docs = _derived_docs(sf_dir)
     rows = []
-    for doc_id, spans in docs:
-        ext = extract_document(spans)
-        text = " ".join(sp["text"] for sp in ext if sp["kind"] in TEXT_KINDS)
-        rows.append((doc_id, ext, text))
+    old_mode = K._HTML_PARSER_MODE
+    K._HTML_PARSER_MODE = "stdlib"
+    try:
+        for doc_id, spans in docs:
+            ext = extract_document(spans)
+            text = " ".join(sp["text"] for sp in ext if sp["kind"] in TEXT_KINDS)
+            rows.append((doc_id, ext, text))
+    finally:
+        K._HTML_PARSER_MODE = old_mode
     scored = score_texts(pd.Series([r[2] for r in rows]), _WIDE)
     return rows, scored
 
