@@ -1789,6 +1789,59 @@ def g1_generate_content(spark, sf_dir):
     )
 
 
+_SRC_ROUNDTRIP_ORACLE = """
+    SELECT lang, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(length(text)) AS BIGINT) AS text_chars
+    FROM documents GROUP BY lang
+    """
+
+
+@query("src_json_roundtrip", _SRC_ROUNDTRIP_ORACLE)
+def src_json_roundtrip(spark, sf_dir):
+    """JSON source format: write the documents table as JSON lines, read it
+    back with an explicit schema, aggregate — value equality with the
+    parquet-side oracle proves lossless ingest (incl. unicode docs). At
+    scale this is the crawl-dump ingestion path (WARC-derived JSONL)."""
+    d = _t(spark, sf_dir, "documents")
+    path = "/tmp/atps_src_json"
+    d.write.mode("overwrite").json(path)
+    j = spark.read.schema(d.schema).json(path)
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+    )
+
+
+@query("src_csv_roundtrip", _SRC_ROUNDTRIP_ORACLE)
+def src_csv_roundtrip(spark, sf_dir):
+    """CSV source format: quoted/escaped/multiline-safe round-trip of the
+    flat document columns, same fidelity check as the JSON path."""
+    d = _t(spark, sf_dir, "documents")
+    path = "/tmp/atps_src_csv"
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    c = (
+        spark.read.schema(d.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return c.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+    )
+
+
 @query(
     "txt_unigram_entropy",
     """
