@@ -18,16 +18,33 @@ import os
 import subprocess
 import sys
 import time
+import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_HOST_CPUS = os.cpu_count() or 32
+_PYFILES_ZIP = "/tmp/atps_bench.zip"
+
+
+def _build_pyfiles() -> str:
+    """Package the engine for --py-files (the north rule's launch shape)."""
+    pkg = os.path.join(REPO, "ai_textbook_processor_spark")
+    with zipfile.ZipFile(_PYFILES_ZIP, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return _PYFILES_ZIP
 
 _SPIN = "while True:\n    x = 0\n    for i in range(10**6): x += i\n"
 
 
 def _launch(cpu_lo: int, cpu_hi: int, jobargs: list[str], env: dict) -> subprocess.Popen:
     cmd = ["taskset", "-c", f"{cpu_lo}-{cpu_hi}", "spark-submit",
-           "--master", f"local[{cpu_hi - cpu_lo + 1}]"]
+           "--master", f"local[{cpu_hi - cpu_lo + 1}]",
+           "--py-files", _PYFILES_ZIP]
     # driver JVM memory/options must be on the submit line (client mode:
     # the JVM is already up before any SparkSession.builder config applies)
     drv_mem = env.get("SPARK_GRAFT_DRIVER_MEM")
@@ -55,6 +72,7 @@ def run_level(
     """Pin the Spark tree(s) to `cores` CPUs, spin the rest (same all-core
     clock at every level), run jvms concurrent executor JVMs, return the
     combined summary. Multi-JVM inputs read `{input}/slice={j}`."""
+    _build_pyfiles()
     env = dict(os.environ)
     per_jvm_cores = cores // jvms
     env["SPARK_GRAFT_CPUS"] = str(per_jvm_cores)
