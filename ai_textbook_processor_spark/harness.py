@@ -1789,6 +1789,42 @@ def g1_generate_content(spark, sf_dir):
     )
 
 
+@query(
+    "scalar_datetime",
+    """
+    SELECT event_id,
+           CAST(date_part('year', ts) AS BIGINT) AS y,
+           CAST(date_part('month', ts) AS BIGINT) AS mo,
+           CAST(date_part('dow', ts) AS BIGINT) AS dow0,
+           CAST(floor(date_part('epoch', ts)) AS BIGINT) AS epoch_s,
+           strftime(ts, '%Y-%m-%d') AS d_iso,
+           CAST(date_trunc('hour', ts) = ts AS VARCHAR) AS on_the_hour,
+           strftime(ts + INTERVAL 7 DAY, '%Y-%m-%d') AS d_plus7
+    FROM events WHERE event_id < 25
+    """,
+)
+def scalar_datetime(spark, sf_dir):
+    """Datetime scalar battery: extract/format/truncate/interval arithmetic
+    — the remaining scalar-function family (§2.9). DuckDB dow is 0=Sunday;
+    Spark dayofweek is 1=Sunday, aligned by -1."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 25)
+    return e.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow0"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d_iso"),
+        (F.date_trunc("hour", F.col("ts")) == F.col("ts"))
+        .cast("string")
+        .alias("on_the_hour"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 7 DAYS"), "yyyy-MM-dd").alias(
+            "d_plus7"
+        ),
+    )
+
+
 _SRC_ROUNDTRIP_ORACLE = """
     SELECT lang, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars,
