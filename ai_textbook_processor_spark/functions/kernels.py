@@ -194,6 +194,33 @@ _FAST_TAG_RE = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)((?:\"[^\"]*\"|'[^']*'|[^\"'>])*)>"
 )
 _RAWTEXT_TAGS = ("script", "style")
+# Mirror of stdlib set_cdata_mode (html/parser.py:122-124 in CPython 3.11):
+# raw-text content ends ONLY at a full '</\s*name\s*>' match, case-insensitive.
+# '</scripty>' or a bare '</script' without '>' is data, not a close.
+_RAWTEXT_CLOSE_RE = {t: re.compile(rf"</\s*{t}\s*>", re.I) for t in _RAWTEXT_TAGS}
+
+# Strict attribute grammar for classifying a trailing '/' the way stdlib
+# parse_starttag does. Names exclude '/'; quoted values are delimited; the
+# repeated unquoted values may contain '/' (stdlib's value regex consumes it).
+# Used ONLY to decide start vs startend when the attrs run ends in '/':
+#   - stdlib emits startendtag iff the raw tag text ends with literal '/>'
+#     AND the '/' was not consumed into an unquoted attribute value.
+#   - '/' directly after an unquoted value (e.g. <a href=http://x.com/>) is
+#     consumed into the value -> plain start tag.
+#   - '/' after whitespace, a closing quote, or a bare attribute name
+#     (e.g. <input disabled/>) is a terminator -> startendtag.
+# Anything not matching the strict grammar bails to stdlib.
+_WSC = r"[\t\n\r\f ]"
+_ANAME = r"[^\t\n\r\f /><\"'=]+"
+_AVAL = r"(?:\"[^\"]*\"|'[^']*'|[^\t\n\r\f >\"'`=]+)"
+_ATTR1 = rf"{_WSC}+{_ANAME}(?:{_WSC}*={_WSC}*{_AVAL})?"
+# tail = unquoted value abutting the final '/': stdlib swallows '/' -> starttag
+_ATTRS_VALTAIL_RE = re.compile(
+    rf"(?:{_ATTR1})*{_WSC}+{_ANAME}{_WSC}*={_WSC}*[^\t\n\r\f >\"'`=]+\Z"
+)
+# generic strict attrs (possibly empty, possibly trailing ws) -> '/' is a
+# terminator -> startendtag
+_ATTRS_STRICT_RE = re.compile(rf"(?:{_ATTR1})*{_WSC}*\Z")
 
 
 class _FastBail(Exception):
@@ -249,23 +276,41 @@ def _fast_feed(builder: "_DomBuilder", html: str) -> None:
             if attrs.strip():
                 raise _FastBail("end tag with attributes")
             builder.handle_endtag(name)
-        elif attrs.rstrip().endswith("/"):
-            builder.handle_startendtag(name, [])
+        elif attrs.endswith("/"):
+            # stdlib emits startendtag only when the literal tail is '/>' and
+            # the '/' is a terminator, NOT part of an unquoted attribute value
+            # (e.g. <a href=http://x.com/> is a plain START tag: the value
+            # regex in html/parser.py consumes the '/'). Classify with the
+            # strict grammar; bail on anything it can't prove.
+            body = attrs[:-1]
+            if _ATTRS_VALTAIL_RE.match(body):
+                builder.handle_starttag(name, [])
+            elif _ATTRS_STRICT_RE.match(body):
+                builder.handle_startendtag(name, [])
+            else:
+                raise _FastBail("ambiguous trailing '/'")
         else:
+            if ('"' in attrs or "'" in attrs) and not _ATTRS_STRICT_RE.match(attrs):
+                # our tokenizer treats ANY quote in attrs as a balanced
+                # delimiter; stdlib only treats quotes after '=' as
+                # delimiters (a quote inside an unquoted value is a value
+                # char). Misaligned quote runs change the tag extent in
+                # either direction — only proceed when the strict grammar
+                # proves every quote is a true '='-delimited value
+                raise _FastBail("quotes outside the strict attribute grammar")
             builder.handle_starttag(name, [])
             if name in _RAWTEXT_TAGS:
-                # raw-text content: no tags, no charref conversion (stdlib
-                # cdata mode behaves identically)
-                close = html.lower().find(f"</{name}", i)
-                if close < 0:
+                # raw-text content: ends ONLY at a full '</\s*name\s*>'
+                # (stdlib cdata mode); '</scripty>' etc. is data. No charref
+                # conversion. Unclosed-at-EOF bails (stdlib drops the tail —
+                # the stdlib reparse reproduces that behavior exactly).
+                m_close = _RAWTEXT_CLOSE_RE[name].search(html, i)
+                if m_close is None:
                     raise _FastBail("unclosed raw-text element")
-                if close > i:
-                    builder.handle_data(html[i:close])
-                gt = html.find(">", close)
-                if gt < 0:
-                    raise _FastBail("unclosed raw-text end tag")
+                if m_close.start() > i:
+                    builder.handle_data(html[i : m_close.start()])
                 builder.handle_endtag(name)
-                i = gt + 1
+                i = m_close.end()
 
 
 def _build_dom(html: str) -> _Node:

@@ -74,6 +74,21 @@ NASTY = [
     "<p>" + "x" * 5000 + "</p>",
     "<script>never closed <p>rest swallowed",            # bail: unclosed raw
     "<!-- never closed comment <p>gone",                 # bail: unclosed comment
+    # --- r3 ADVICE regressions: raw-text close must be a FULL '</\s*name\s*>'
+    "<p>pre</p><script>a</scripty>x</script><p>post</p>",   # prefix-only close is data
+    "<p>pre</p><script>a</ script><p>leak?</p>",             # '</ script' IS a close (stdlib \s*)
+    "<script>a</script ><p>after</p>",                       # ws before '>' in close
+    "<script>a</SCRIPT><p>case-insensitive close</p>",
+    "<style>p{}</styleX>q</style><p>after</p>",
+    # --- r3 ADVICE regressions: trailing '/' classification
+    "<p>go <a href=http://x.com/>link</a> tail</p>",     # '/' swallowed into unquoted value -> start tag
+    "<p>go <a href=http://x.com/ >link</a> tail</p>",    # '/ >' never self-closing
+    '<p>go <a href="http://x.com/">quoted</a> t</p>',
+    "<p><input disabled/>bare-name self-close</p>",
+    "<p><br //>double slash</p>",                        # bail (stdlib: startend)
+    "<p><a foo=a\"b\"/>quote-in-unquoted-value</a>x</p>",  # bail
+    "<p><a foo=bar/ baz=q>mid junk</a>y</p>",
+    "<p><a href=x/>v</a><a href=x />w</a><a href=x/ >z</a></p>",
 ]
 
 
