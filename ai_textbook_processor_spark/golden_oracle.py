@@ -189,17 +189,32 @@ def _word_hash(w: str) -> int:
     return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:12], 16) % MH_PRIME
 
 
-def _minhash_sig(text: str) -> tuple | None:
-    words = set(_AZ_RE.findall(text.lower()))
-    if not words:
+def _minhash_sig(
+    text: str, coefs=tuple(MH_COEFS), shingle_n: int = 1
+) -> tuple | None:
+    toks = _AZ_RE.findall(text.lower())
+    if shingle_n == 1:
+        terms = set(toks)
+    else:
+        terms = {
+            " ".join(toks[i : i + shingle_n])
+            for i in range(len(toks) - shingle_n + 1)
+        }
+    if not terms:
         return None
-    hs = [_word_hash(w) for w in words]
-    return tuple(min((a * h + b) % MH_PRIME for h in hs) for a, b in MH_COEFS)
+    hs = [_word_hash(w) for w in terms]
+    return tuple(min((a * h + b) % MH_PRIME for h in hs) for a, b in coefs)
 
 
 def tp1_oracle(sf_dir: str) -> str:
     """Pure twin of plans.training_pipeline.clean_corpus at min_quality=0.1
-    with the wide grade band (exactly what tp1_clean_corpus_funnel runs)."""
+    with the wide grade band (exactly what tp1_clean_corpus_funnel runs):
+    production MinHash-16 over 3-word shingle sets banded 4x4,
+    hot_bucket_cap=1000 star routing, min_matches=12 verification,
+    cluster-canonical keep via connected components (minimum doc_id per
+    component survives)."""
+    from .operators.dedup import MH_COEFS_16
+
     rows, scored = _extracted(sf_dir)
     n_input = len(rows)
 
@@ -218,18 +233,48 @@ def tp1_oracle(sf_dir: str) -> str:
             best[fp] = (doc_id, text)
     winners = sorted(best.values())
 
-    # near-dup: MinHash K=4, min_matches=4 => identical full signature;
-    # every non-minimal doc_id of a signature group loses
-    groups: dict[tuple, str] = {}
-    losers = 0
+    # near-dup, mirroring minhash_lsh_pairs(coefs=MH_COEFS_16, band_rows=4,
+    # hot_bucket_cap=1000) + duplicate_clusters canonical keep
+    k, band_rows, cap, min_matches = 16, 4, 1000, 12
+    sigs: dict[str, tuple] = {}
     for doc_id, text in winners:
-        sig = _minhash_sig(text)
-        if sig is None:
-            continue
-        if sig in groups:
-            losers += 1  # doc_ids arrive sorted, so the first was minimal
+        sig = _minhash_sig(text, tuple(MH_COEFS_16), shingle_n=3)
+        if sig is not None:
+            sigs[doc_id] = sig
+    buckets: dict[tuple, list[str]] = {}
+    for doc_id, sig in sigs.items():
+        for j in range(k // band_rows):
+            key = (j, "-".join(str(sig[j * band_rows + t]) for t in range(band_rows)))
+            buckets.setdefault(key, []).append(doc_id)
+    cand: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        members.sort()
+        if len(members) > cap:
+            rep = members[0]
+            cand.update((rep, m) for m in members[1:])
         else:
-            groups[sig] = doc_id
+            for i in range(len(members)):
+                for j2 in range(i + 1, len(members)):
+                    cand.add((members[i], members[j2]))
+    pairs = [
+        (a, b)
+        for a, b in cand
+        if sum(x == y for x, y in zip(sigs[a], sigs[b])) >= min_matches
+    ]
+    # connected components; canonical = minimum doc_id per component
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = sum(1 for x in parent if find(x) != x)
 
     counts = [
         ("input", n_input),
