@@ -75,6 +75,86 @@ def make_extract_and_score_udf(cfg: CriteriaConfig):
     return extract_and_score
 
 
+# ---------------------------------------------------------------------------
+# mapInArrow twin of the fused stage (r2 VERDICT #2), r3 verdict: PARITY
+# within noise, kept as an equality-pinned option (pandas UDF remains
+# default). Why no win: Spark 4's pandas serializer is already Arrow-
+# backed — the list<struct> input conversion (to_pandas) is identical in
+# both paths and to_pylist is 6x SLOWER; the only real saving is building
+# outputs directly as Arrow arrays (~4-5% of worker time), and mapInArrow
+# must ship every passthrough column through the worker socket both ways
+# (ArrowEvalPython ships only the spans column), which offsets it.
+# Numbers in BENCH/BASELINE.md §r3. The pandas UDF is the GOLDEN TWIN
+# (tests/test_arrow_impl.py pins row-for-row equality the way
+# test_fast_html.py pins the tokenizer; the sf literal oracles x1/x2/g1
+# pin the default path against pure-Python tables).
+# ---------------------------------------------------------------------------
+
+
+def make_extract_and_score_arrow_fn(cfg: CriteriaConfig, out_fields):
+    """Build the mapInArrow function emitting ``input columns (spans
+    replaced) + n_spans + n_chars + validation``. ``out_fields`` is the
+    list of (name, pyarrow.DataType) for the OUTPUT schema, computed on
+    the driver (pyspark.sql.pandas.types.to_arrow_type) and captured by
+    the closure so workers never re-derive schema."""
+    import pyarrow as pa
+
+    out_schema = pa.schema([pa.field(n, t) for n, t in out_fields])
+    types = {n: t for n, t in out_fields}
+    spans_type = types["spans"]
+    validation_type = types["validation"]
+
+    def extract_and_score_arrow(batches):
+        for batch in batches:
+            # to_pandas, NOT to_pylist: pyarrow's pandas conversion of
+            # list<struct> is ~6x faster (measured 0.08s vs 0.49s per 8k
+            # batch); cells arrive as ndarrays of dicts, which the kernel
+            # consumes identically
+            spans = batch.column(
+                batch.schema.get_field_index("spans")
+            ).to_pandas()
+            extracted = [
+                extract_document(s) if s is not None else [] for s in spans
+            ]
+            texts = pd.Series(
+                [
+                    " ".join(
+                        sp["text"] for sp in doc if sp["kind"] in TEXT_KINDS
+                    )
+                    for doc in extracted
+                ]
+            )
+            scored = score_texts(texts, cfg)
+            validation = pa.StructArray.from_arrays(
+                [
+                    pa.array(
+                        scored[f.name], type=f.type, from_pandas=True
+                    )
+                    for f in validation_type
+                ],
+                fields=list(validation_type),
+            )
+            new_cols = {
+                "spans": pa.array(extracted, type=spans_type),
+                "n_spans": pa.array(
+                    [len(d) for d in extracted], type=pa.int32()
+                ),
+                "n_chars": pa.array(
+                    texts.str.len().astype("int32"), type=pa.int32()
+                ),
+                "validation": validation,
+            }
+            arrays = [
+                new_cols[f.name]
+                if f.name in new_cols
+                else batch.column(batch.schema.get_field_index(f.name))
+                for f in out_schema
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return extract_and_score_arrow
+
+
 def extracted_text(spans_col: str | Column = "spans", sep: str = " ") -> Column:
     """Ordered concat of the textual spans — JVM-side (array_join over a
     filtered transform), the Spark analog of the reference's page-markdown
