@@ -1879,6 +1879,109 @@ def src_csv_roundtrip(spark, sf_dir):
 
 
 @query(
+    "src_json_malformed",
+    """
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE doc_id % 10 != 3 GROUP BY lang
+    UNION ALL
+    SELECT '_quarantined' AS lang, count(*) AS n,
+           CAST(sum(length('{"doc_id": ' || CAST(doc_id AS VARCHAR)
+                           || ', "text": ')) AS BIGINT) AS chars
+    FROM documents WHERE doc_id % 10 = 3
+    """,
+)
+def src_json_malformed(spark, sf_dir):
+    """Malformed-row quarantine for the JSON source (VERDICT r2 #6): plant
+    deterministically corrupt lines (every doc_id % 10 == 3 becomes an
+    unterminated object), read PERMISSIVE with `_corrupt_record`, and
+    quarantine instead of dropping — the Spark-source analog of the
+    reference's error channel (/root/reference/routes/route.py:136-138,
+    which catches per-document failures and returns them as `Error: ...`
+    rows rather than aborting the batch). The quarantine row aggregates
+    length(_corrupt_record), so the oracle match proves the raw bytes of
+    every bad line were retained verbatim, not just counted. At 100 TB the
+    crawl-ingest path lives or dies on this: one torn JSONL line per
+    shard must not kill a 1000-executor job or silently vanish."""
+    d = _t(spark, sf_dir, "documents")
+    path = "/tmp/atps_src_json_malformed"
+    good = F.to_json(F.struct(*[F.col(c) for c in d.columns]))
+    corrupt = F.concat(
+        F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "text": ')
+    )
+    d.select(
+        F.when(F.col("doc_id") % 10 == 3, corrupt).otherwise(good).alias("value")
+    ).write.mode("overwrite").text(path)
+
+    schema = d.schema.add("_corrupt_record", "string")
+    j = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # Spark disallows corrupt-record-only queries on raw files
+    )
+    clean = j.where(F.col("_corrupt_record").isNull()).groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars")
+    )
+    quarantined = j.where(F.col("_corrupt_record").isNotNull()).agg(
+        F.lit("_quarantined").alias("lang"),
+        F.count("*").alias("n"),
+        F.sum(F.length("_corrupt_record")).cast("long").alias("chars"),
+    ).select("lang", "n", "chars")
+    return clean.unionByName(quarantined)
+
+
+@query(
+    "src_csv_malformed",
+    """
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE doc_id % 7 != 2 GROUP BY lang
+    UNION ALL
+    SELECT '_quarantined' AS lang, count(*) AS n,
+           CAST(sum(length(CAST(doc_id AS VARCHAR) || ',' || lang || ','
+                           || source || ',n/a')) AS BIGINT) AS chars
+    FROM documents WHERE doc_id % 7 = 2
+    """,
+)
+def src_csv_malformed(spark, sf_dir):
+    """CSV twin of the malformed-row quarantine: every doc_id % 7 == 2 row
+    carries an unparseable BIGINT cell ('n/a' in n_chars), PERMISSIVE mode
+    nulls the field and preserves the raw line in `_corrupt_record`; both
+    channels are aggregated and oracle-matched (quarantine chars =
+    byte-length of the planted lines, proving verbatim retention)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    path = "/tmp/atps_src_csv_malformed"
+    line = F.concat_ws(
+        ",",
+        F.col("doc_id").cast("string"),
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 7 == 2, F.lit("n/a")).otherwise(
+            F.col("n_chars").cast("string")
+        ),
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    schema = d.schema.add("_corrupt_record", "string")
+    c = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    clean = c.where(F.col("_corrupt_record").isNull()).groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars")
+    )
+    quarantined = c.where(F.col("_corrupt_record").isNotNull()).agg(
+        F.lit("_quarantined").alias("lang"),
+        F.count("*").alias("n"),
+        F.sum(F.length("_corrupt_record")).cast("long").alias("chars"),
+    ).select("lang", "n", "chars")
+    return clean.unionByName(quarantined)
+
+
+@query(
     "txt_unigram_entropy",
     """
     WITH words AS (

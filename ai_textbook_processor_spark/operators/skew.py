@@ -37,6 +37,35 @@ from ..schemas import SPANS_TYPE
 
 DEFAULT_SPAN_THRESHOLD = 512
 DEFAULT_UNITS_PER_CHUNK = 128
+PROFILE_QUANTILE = 0.999
+PROFILE_FLOOR = 64
+
+
+def profile_span_threshold(
+    df: DataFrame,
+    quantile: float = PROFILE_QUANTILE,
+    accuracy: int = 10_000,
+    floor: int = PROFILE_FLOOR,
+) -> int:
+    """Derive the salting threshold from the corpus itself: P99.9 of span
+    counts (SCALE.md's `pctile_stats`-style pre-pass), so ~0.1% of docs —
+    the actual outliers of THIS corpus — take the split/reassemble path,
+    whatever the size distribution is. A fixed 512 under-salts a corpus of
+    10k-span scanned books and pointlessly salts one of 600-span articles.
+
+    Scale shape: ``percentile_approx`` is a partial aggregate — each task
+    folds its rows into one GK sketch and only the sketches move, so the
+    pre-pass is one scan + a single-row exchange regardless of corpus
+    size. ``floor`` keeps degenerate corpora (all tiny docs) off the
+    salted path entirely; the quantile value itself is a real observed
+    span count, so docs strictly above it are exactly the tail.
+    """
+    q = df.select(
+        F.percentile_approx(
+            F.coalesce(F.size("spans"), F.lit(0)), quantile, accuracy
+        ).alias("q")
+    ).first()["q"]
+    return max(floor, int(q if q is not None else 0))
 
 _CHUNK_TYPE = T.ArrayType(
     T.StructType(
@@ -144,15 +173,20 @@ _META_COLS = ["standard", "subject", "chapter", "content_type"]
 def extract_documents_salted(
     df: DataFrame,
     cfg: CriteriaConfig | None = None,
-    span_threshold: int = DEFAULT_SPAN_THRESHOLD,
+    span_threshold: int | str = DEFAULT_SPAN_THRESHOLD,
     max_units_per_chunk: int = DEFAULT_UNITS_PER_CHUNK,
     n_buckets: int = 32,
     chunk_partitions: int | None = None,
 ) -> DataFrame:
     """Skew-aware extraction: fused fast path for normal docs, salted
     split/reassemble for mega docs. Output schema and values identical to
-    ``extract_documents``."""
+    ``extract_documents``. ``span_threshold="auto"`` profiles the corpus
+    (P99.9 pre-pass, :func:`profile_span_threshold`) instead of using the
+    fixed default — correct for any size distribution at the cost of one
+    extra scan."""
     cfg = cfg or CriteriaConfig()
+    if span_threshold == "auto":
+        span_threshold = profile_span_threshold(df)
     # coalesce: under ANSI mode size(NULL) is NULL (not -1), which would
     # drop null-span docs from BOTH branches; pin them to the fused path so
     # they emit empty extractions exactly like extract_documents.

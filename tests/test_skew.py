@@ -64,6 +64,63 @@ def test_salted_spark_equals_unsalted(spark):
         ]
 
 
+def test_profiled_threshold_adapts_to_distribution(spark):
+    """VERDICT r2 #7: span_threshold derives from a P99.9 pre-pass, so it
+    tracks the corpus's own size distribution instead of the fixed 512."""
+    from ai_textbook_processor_spark.corpus import corpus_df
+    from ai_textbook_processor_spark.operators.skew import (
+        extract_documents_salted,
+        profile_span_threshold,
+    )
+    from ai_textbook_processor_spark.plans.pipeline import extract_documents
+    from ai_textbook_processor_spark.schemas import DOCUMENTS_SCHEMA
+
+    def mk(sizes):
+        rows = [
+            (
+                f"d{i:04d}",
+                [
+                    {"kind": "text", "text": f"Plain sentence {i} {j}.",
+                     "media_ref": None, "offset": j}
+                    for j in range(n)
+                ],
+                "5", "science", "1", "text",
+            )
+            for i, n in enumerate(sizes)
+        ]
+        return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+    articles = mk([10 + (i * 7) % 41 for i in range(300)])          # 10..50
+    books = mk([900 + (i * 13) % 200 for i in range(300)])          # 900..1099
+    t_articles = profile_span_threshold(articles)
+    t_books = profile_span_threshold(books)
+    assert t_articles == 64  # floor: nothing here is worth salting
+    assert 900 <= t_books <= 1099  # adapted: a real observed span count
+    assert t_books > t_articles
+
+    # a fat tail lands the threshold inside the bulk, above it: the tail
+    # docs (and only they) take the salted path
+    tail_sizes = [20 + (i % 30) for i in range(500)] + [4000] * 2
+    tail = mk(tail_sizes)
+    t_tail = profile_span_threshold(tail, quantile=0.99)
+    assert max(s for s in tail_sizes if s < 4000) <= t_tail < 4000
+
+    # and auto-threshold extraction stays value-equal to the fused plan
+    mixed = corpus_df(spark, 24, seed=7, mega_every=8)
+
+    def inv(df):
+        return {
+            r["doc_id"]: [
+                (s.kind, s.text, s.media_ref, s.offset) for s in r["spans"]
+            ]
+            for r in df.select("doc_id", "spans").collect()
+        }
+
+    assert inv(
+        extract_documents_salted(mixed, span_threshold="auto")
+    ) == inv(extract_documents(mixed))
+
+
 def test_media_heavy_mega_doc_salted_engine_path(spark):
     """VERDICT r1 #6: a single giant doc with 1000 media spans must run
     through the salted ENGINE path (chunk split -> parallel partial
