@@ -106,6 +106,41 @@ def unigram_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text", n: int = 2):
+    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 repetition filters — public): per
+    document, the fraction of duplicate word n-grams and the mass of the
+    single most frequent n-gram. Boilerplate, keyword-stuffing, and
+    degenerate-generation text score high on both; a quality gate
+    thresholds them (the reference's validation stage is the same idea
+    applied via an LLM judge, /root/reference/utils/models.py criteria).
+
+    Scale shape: shingling is a JVM array expression on the scan, then
+    exactly two map-side-combined shuffles — (id, gram) -> counts, id ->
+    (total, distinct, max). No window, no second pass over text. Docs with
+    fewer than n words carry no signal and are absent from the output
+    (gate them on length instead).
+    """
+    grams = df.select(
+        id_col,
+        F.explode(rolling_fingerprints(F.col(text_col), n)).alias("g"),
+    )
+    counts = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    return agg.select(
+        id_col,
+        F.col("total").cast("long").alias("n_grams"),
+        F.round((F.col("total") - F.col("n_distinct")) / F.col("total"), 5).alias(
+            "dup_gram_frac"
+        ),
+        F.round(F.col("top_c") / F.col("total"), 5).alias("top_gram_frac"),
+    )
+
+
 def rolling_fingerprints(col: str | Column, n: int = 3) -> Column:
     """Array of hashed n-gram (word) shingles — the MinHash input."""
     c = _c(col)

@@ -1982,6 +1982,105 @@ def src_csv_malformed(spark, sf_dir):
 
 
 @query(
+    "txt_repetition",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents WHERE doc_id < 60
+    ), grams AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t
+      WHERE len(ws) >= 2
+    ), counts AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           round((sum(c) - count(*)) / sum(c), 5) AS dup_gram_frac,
+           round(max(c) / sum(c), 5) AS top_gram_frac
+    FROM counts GROUP BY doc_id
+    """,
+)
+def txt_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (functions.text
+    .repetition_metrics): duplicate word-2-gram fraction + most-frequent-
+    2-gram mass per doc — the standard boilerplate/keyword-stuffing filter
+    for training corpora. Two map-side-combined shuffles, shingling stays
+    a JVM array expression on the scan."""
+    from .functions.text import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return repetition_metrics(d)
+
+
+@query(
+    "dc_benchmark_overlap",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+      WHERE len(ws) >= 3
+    ), shared AS (
+      SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM grams t JOIN grams b USING (g)
+      WHERE t.doc_id % 50 != 7 AND b.doc_id % 50 = 7
+      GROUP BY 1, 2
+    )
+    SELECT train_id, bench_id, n_shared FROM shared WHERE n_shared >= 2
+    """,
+)
+def dc_benchmark_overlap(spark, sf_dir):
+    """Benchmark decontamination (operators.decontam.benchmark_overlap):
+    training docs sharing >= 2 distinct word-3-gram shingles with the
+    planted eval split (doc_id % 50 == 7). The benchmark shingle set is
+    broadcast — the 100 TB training side never shuffles raw text; only
+    matching (train, bench) shingle hits leave the scan stage."""
+    from .operators.decontam import benchmark_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return benchmark_overlap(
+        d.where(F.col("doc_id") % 50 != 7),
+        d.where(F.col("doc_id") % 50 == 7),
+    )
+
+
+@query(
+    "samp_stratified",
+    """
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+               AS BIGINT) % 10000
+          < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+                      WHEN 'zh' THEN 10000 ELSE 1000 END
+    GROUP BY lang
+    """,
+)
+def samp_stratified(spark, sf_dir):
+    """Deterministic stratified corpus mixing (operators.sampling
+    .stratified_sample): keep en at 25%, de at 50%, zh at 100%, rest at
+    10%, decided by each row's own id hash — reproducible across runs,
+    task retries, and engines (id_sum pins the exact row selection, not
+    just the counts). Pure scan-side predicate: no shuffle, no seed
+    state."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_sample(
+        d, "lang", {"en": 0.25, "de": 0.5, "zh": 1.0}, default_rate=0.1
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@query(
     "txt_unigram_entropy",
     """
     WITH words AS (

@@ -1,0 +1,87 @@
+"""Planted-fixture tests for the r3 training-data ops: decontamination,
+deterministic stratified sampling, repetition metrics. The harness oracles
+(dc_benchmark_overlap, samp_stratified, txt_repetition) pin value-level
+cross-engine equality; these pin the behavioral contracts."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_removes_planted_contamination(spark):
+    from ai_textbook_processor_spark.operators.decontam import (
+        benchmark_overlap,
+        decontaminate,
+    )
+
+    bench = _docs(
+        spark, [(1000, "the quick brown fox jumps over the lazy dog today")]
+    )
+    train = _docs(
+        spark,
+        [
+            # verbatim leak of the benchmark text inside a longer doc
+            (1, "prefix words here the quick brown fox jumps over the lazy dog today and more"),
+            # shares exactly one 3-gram ('the quick brown') -> below min_shared
+            (2, "something about the quick brown color of paint on walls"),
+            # no overlap at all
+            (3, "completely unrelated sentence with distinct vocabulary choices"),
+        ],
+    )
+    flagged = benchmark_overlap(train, bench).collect()
+    assert {(r["train_id"], r["bench_id"]) for r in flagged} == {(1, 1000)}
+    assert flagged[0]["n_shared"] >= 7
+
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(train, bench).select("doc_id").collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_stratified_sample_deterministic_across_partitionings(spark):
+    from ai_textbook_processor_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.3, "de": 0.7}
+
+    def ids(frame):
+        return sorted(
+            r["doc_id"]
+            for r in stratified_sample(frame, "lang", rates).select("doc_id").collect()
+        )
+
+    one = ids(df.coalesce(1))
+    many = ids(df.repartition(13, "doc_id"))
+    again = ids(df.repartition(13, "doc_id"))
+    assert one == many == again
+    assert 0 < len(one) < 400
+
+    # rates actually bite per stratum (hash is uniform enough at n=400)
+    sel = {
+        r["lang"]: r["count"]
+        for r in stratified_sample(df, "lang", rates)
+        .groupBy("lang")
+        .agg(F.count("*").alias("count"))
+        .collect()
+    }
+    totals = {"en": sum(1 for _, l in rows if l == "en"), "de": sum(1 for _, l in rows if l == "de")}
+    assert 0.15 < sel["en"] / totals["en"] < 0.45
+    assert 0.55 < sel["de"] / totals["de"] < 0.85
+
+
+def test_repetition_metrics_flags_planted_boilerplate(spark):
+    from ai_textbook_processor_spark.functions.text import repetition_metrics
+
+    df = _docs(
+        spark,
+        [
+            (1, "buy now " * 30),  # one 2-gram dominating
+            (2, "a reasonably varied sentence where words mostly differ throughout"),
+        ],
+    )
+    m = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert m[1]["dup_gram_frac"] > 0.9 and m[1]["top_gram_frac"] > 0.4
+    assert m[2]["dup_gram_frac"] == 0.0
