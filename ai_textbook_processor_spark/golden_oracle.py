@@ -206,13 +206,13 @@ def _minhash_sig(
     return tuple(min((a * h + b) % MH_PRIME for h in hs) for a, b in coefs)
 
 
-def tp1_oracle(sf_dir: str) -> str:
-    """Pure twin of plans.training_pipeline.clean_corpus at min_quality=0.1
-    with the wide grade band (exactly what tp1_clean_corpus_funnel runs):
-    production MinHash-16 over 3-word shingle sets banded 4x4,
-    hot_bucket_cap=1000 star routing, min_matches=12 verification,
-    cluster-canonical keep via connected components (minimum doc_id per
-    component survives)."""
+def _tp_survivors(sf_dir: str):
+    """Shared pure twin of clean_corpus's core stages at min_quality=0.1
+    with the wide grade band: gate -> exact dedup -> production MinHash-16
+    (3-word shingles banded 4x4, hot_bucket_cap=1000 star routing,
+    min_matches=12) -> cluster-canonical keep. Returns (n_input, gated,
+    winners, survivors) where survivors are (doc_id, text) kept after
+    near-dedup."""
     from .operators.dedup import MH_COEFS_16
 
     rows, scored = _extracted(sf_dir)
@@ -274,13 +274,84 @@ def tp1_oracle(sf_dir: str) -> str:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    losers = sum(1 for x in parent if find(x) != x)
+    survivors = [(d, t) for d, t in winners if find(d) == d]
+    return n_input, gated, winners, survivors
+
+
+def tp1_oracle(sf_dir: str) -> str:
+    """Pure twin of plans.training_pipeline.clean_corpus at min_quality=0.1
+    with the wide grade band (exactly what tp1_clean_corpus_funnel runs) —
+    see :func:`_tp_survivors` for the stage semantics."""
+    n_input, gated, winners, survivors = _tp_survivors(sf_dir)
+    counts = [
+        ("input", n_input),
+        ("extracted_valid", len(gated)),
+        ("after_exact_dedup", len(winners)),
+        ("after_near_dedup", len(survivors)),
+    ]
+    lits = [(_sql_str(k), f"CAST({v} AS BIGINT)") for k, v in counts]
+    return _values_sql(lits, ["stage", "n"])
+
+
+_CJK_SEARCH_RE = re.compile("[\\u4e00-\\u9fff]")
+_THE_RE = re.compile(r"\bthe\b")
+
+
+def _lang_guess_pure(text: str) -> str:
+    """Pure twin of functions.text.lang_guess."""
+    if _CJK_SEARCH_RE.search(text):
+        return "zh"
+    if len(_THE_RE.findall(text.lower())) >= 3:
+        return "en"
+    return "other"
+
+
+def _shingles3(text: str) -> set:
+    toks = _AZ_RE.findall(text.lower())
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+def _sample_bucket(doc_id: str) -> int:
+    """Pure twin of operators.sampling.sample_hash."""
+    return int(hashlib.md5(doc_id.encode("utf-8")).hexdigest()[:12], 16) % 10_000
+
+
+def tp2_oracle(sf_dir: str) -> str:
+    """Pure twin of harness.tp2_full_pipeline: the tp1 stages plus
+    benchmark decontamination (raw texts of doc_id % 29 == 11, >= 2 shared
+    distinct word-3-gram shingles with any single benchmark doc) and
+    deterministic stratified mixing by guessed language (en 50%, zh 100%,
+    other 25%; md5-bucket of the doc's own id)."""
+    n_input, gated, winners, survivors = _tp_survivors(sf_dir)
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    bench = [
+        _shingles3(text)
+        for doc_id, text in zip(t["doc_id"], t["text"])
+        if doc_id % 29 == 11
+    ]
+    kept = [
+        (d, txt)
+        for d, txt in survivors
+        if not any(len(_shingles3(txt) & b) >= 2 for b in bench)
+    ]
+
+    rates = {"en": 5_000, "zh": 10_000}
+    mixed = sum(
+        1
+        for d, txt in kept
+        if _sample_bucket(d) < rates.get(_lang_guess_pure(txt), 2_500)
+    )
 
     counts = [
         ("input", n_input),
         ("extracted_valid", len(gated)),
         ("after_exact_dedup", len(winners)),
-        ("after_near_dedup", len(winners) - losers),
+        ("after_near_dedup", len(survivors)),
+        ("after_decontam", len(kept)),
+        ("after_mix", mixed),
     ]
     lits = [(_sql_str(k), f"CAST({v} AS BIGINT)") for k, v in counts]
     return _values_sql(lits, ["stage", "n"])
@@ -320,5 +391,6 @@ def literal_oracles(sf_dir: str) -> dict[str, str]:
         "x2_extract_span_stats": x2_oracle(sf_dir),
         "g1_generate_content": g1_oracle(sf_dir),
         "tp1_clean_corpus_funnel": tp1_oracle(sf_dir),
+        "tp2_full_pipeline": tp2_oracle(sf_dir),
         "s4_audio_transcribe": s4_oracle(sf_dir),
     }

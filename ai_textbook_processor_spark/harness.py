@@ -1703,6 +1703,54 @@ def sim_ivf_multiprobe(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "sim_kmeans_step",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cemb,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS cnrm
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ), vecs AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS nrm
+      FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT v.vec_id, v.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_sum([CAST(v.embedding[x] AS DOUBLE) * CAST(c.cemb[x] AS DOUBLE)
+                                    for x in generate_series(1, {_EMB_DIM})])
+                          / (v.nrm * c.cnrm) DESC, c.cid
+               ) AS rnk
+        FROM vecs v CROSS JOIN cents c
+      ) WHERE rnk = 1
+    )
+    SELECT cid, CAST(x AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(embedding[x] AS DOUBLE)), 5) AS c_mean
+    FROM assigned, LATERAL (SELECT unnest(generate_series(1, {_EMB_DIM})) AS x) t
+    GROUP BY cid, x
+    """,
+)
+def sim_kmeans_step(spark, sf_dir):
+    """One Lloyd iteration of IVF centroid training (operators.similarity
+    .kmeans_step): assign to max-cosine centroid (broadcast + partial
+    max_by), recompute per-cell element-wise means in long form — the
+    exchange carries K*dim partial sums per task, never the vectors.
+    Iteration (kmeans_fit) re-broadcasts the K*dim result each round."""
+    from .operators.similarity import kmeans_step
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    return kmeans_step(e.select("vec_id", "embedding"), cents)
+
+
 @query(
     "txt_quality_score",
     """
@@ -2151,6 +2199,31 @@ def tp1_clean_corpus_funnel(spark, sf_dir):
     docs = _interleaved_from_documents(spark, sf_dir)
     _cleaned, funnel = clean_corpus(
         docs, CriteriaConfig(grade_lo=-100.0, grade_hi=100.0), min_quality=0.1
+    )
+    return funnel
+
+
+@query("tp2_full_pipeline")  # literal oracle via golden_oracle.py
+def tp2_full_pipeline(spark, sf_dir):
+    """tp1 plus the r3 stages: benchmark decontamination (eval set = raw
+    texts of doc_id % 29 == 11, word-3-gram shingles, broadcast) and
+    deterministic stratified mixing by guessed language (en 50%, zh 100%,
+    other 25%) — the complete nightly training-data job, funnel-observed,
+    value-pinned by the pure-Python golden twin."""
+    from .functions.readability import CriteriaConfig
+    from .plans.training_pipeline import clean_corpus
+
+    docs = _interleaved_from_documents(spark, sf_dir)
+    bench = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 29 == 11).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    _cleaned, funnel = clean_corpus(
+        docs,
+        CriteriaConfig(grade_lo=-100.0, grade_hi=100.0),
+        min_quality=0.1,
+        benchmark=bench,
+        mix_rates={"en": 0.5, "zh": 1.0},
+        mix_default_rate=0.25,
     )
     return funnel
 

@@ -69,6 +69,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument(
+        "--benchmark",
+        help="clean-corpus: parquet path of a (doc_id, text) eval set; "
+        "surviving docs sharing word-3-gram shingles with it are dropped "
+        "(decontamination stage)",
+    )
+    ap.add_argument(
+        "--mix-rates",
+        help="clean-corpus: per-language keep rates as 'en=0.5,zh=1.0' "
+        "(deterministic hash-stratified mixing stage; unlisted languages "
+        "use --mix-default)",
+    )
+    ap.add_argument("--mix-default", type=float, default=1.0)
+    ap.add_argument(
         "--sink", choices=("parquet", "noop"), default="parquet",
         help="noop: execute the full plan but discard output (isolates "
         "extraction throughput from the writer in bench runs)",
@@ -123,19 +136,42 @@ def main(argv: list[str] | None = None) -> int:
             clean_corpus,
         )
 
-        cleaned, funnel = clean_corpus(docs, cfg, min_quality=args.min_quality)
+        benchmark = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        mix_rates = None
+        if args.mix_rates:
+            mix_rates = {
+                k: float(v)
+                for k, v in (kv.split("=") for kv in args.mix_rates.split(","))
+            }
+        cleaned, funnel = clean_corpus(
+            docs,
+            cfg,
+            min_quality=args.min_quality,
+            benchmark=benchmark,
+            mix_rates=mix_rates,
+            mix_default_rate=args.mix_default,
+        )
         cleaned.drop("text").write.mode("overwrite").parquet(
             f"{args.out}/cleaned"
         )
         wall = time.monotonic() - t0
         stages = {r["stage"]: int(r["n"]) for r in funnel.collect()}
+        final_stage = (
+            "after_mix"
+            if mix_rates is not None
+            else "after_decontam"
+            if benchmark is not None
+            else "after_near_dedup"
+        )
         print(
             json.dumps(
                 {
                     "mode": "clean_corpus",
                     "funnel": stages,
                     "docs_total": stages.get("input", 0),
-                    "docs_kept": stages.get("after_near_dedup", 0),
+                    "docs_kept": stages.get(final_stage, 0),
                     "wall_sec": round(wall, 3),
                     "docs_per_sec": (
                         round(stages.get("input", 0) / wall, 3) if wall > 0 else None

@@ -34,6 +34,24 @@ def sample_hash(id_col: str | Column) -> Column:
     )
 
 
+def sample_keep_expr(
+    strata_col: str | Column,
+    rates: dict[str, float],
+    id_col: str | Column = "doc_id",
+    default_rate: float = 0.0,
+) -> Column:
+    """Boolean keep/drop decision as a composable Column — usable as a
+    filter (``stratified_sample``) or as a flag inside a wider aggregate
+    (the training pipeline's funnel counts it without a second pass)."""
+    s = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    threshold = F.lit(int(round(default_rate * _BUCKETS)))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(s == value, int(round(rate * _BUCKETS))).otherwise(
+            threshold
+        )
+    return sample_hash(id_col) < threshold
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -43,9 +61,4 @@ def stratified_sample(
 ) -> DataFrame:
     """Keep each row of stratum s with probability ``rates[s]`` (else
     ``default_rate``), decided by the row's own id hash."""
-    threshold = F.lit(int(round(default_rate * _BUCKETS)))
-    for value, rate in sorted(rates.items()):
-        threshold = F.when(
-            F.col(strata_col) == value, int(round(rate * _BUCKETS))
-        ).otherwise(threshold)
-    return df.where(sample_hash(id_col) < threshold)
+    return df.where(sample_keep_expr(strata_col, rates, id_col, default_rate))

@@ -85,3 +85,57 @@ def ivf_assign(
         .agg(F.max_by(F.struct(*others, "cid"), key).alias("_b"))
         .select(id_col, *[F.col(f"_b.{c}").alias(c) for c in others + ["cid"]])
     )
+
+
+def kmeans_step(
+    df: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration for IVF centroid training: assign every vector
+    to its max-cosine centroid (``ivf_assign`` — broadcast centroids,
+    partial max_by), then recompute per-cell element-wise means. Returns
+    LONG form ``(cid, pos, n, c_mean)``: after the map-side combine each
+    task contributes at most K*dim partial (sum, count) rows to the
+    exchange — the raw vectors never ride a shuffle, so one iteration
+    costs one broadcast pass + one tiny aggregate regardless of corpus
+    size. A single step is SQL-expressible and oracle-matched
+    (sim_kmeans_step); iteration is :func:`kmeans_fit`.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    elems = assigned.select(
+        "cid",
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
+    )
+    return (
+        elems.groupBy("cid", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("v"), 5).alias("c_mean"),
+        )
+        .select("cid", "pos", "n", "c_mean")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame, centroids: DataFrame, iters: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Iterated Lloyd: run ``kmeans_step`` ``iters`` times, rebuilding the
+    centroid table from the step output each round. The per-round
+    ``collect()`` is K*dim scalars (the centroids themselves — the natural
+    driver-side artifact of k-means, bounded by the model size, never by
+    the data), re-broadcast as plan literals for the next assignment pass.
+    Returns the final centroid DataFrame (cid, cemb)."""
+    spark = df.sparkSession
+    cents = centroids
+    for _ in range(iters):
+        rows = kmeans_step(df, cents, id_col, vec_col).collect()
+        by_cid: dict = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c_mean"]
+        lit = [
+            (cid, [float(means[p]) for p in sorted(means)])
+            for cid, means in sorted(by_cid.items())
+        ]
+        cents = spark.createDataFrame(lit, "cid long, cemb array<double>")
+    return cents

@@ -37,8 +37,10 @@ from pyspark.sql import functions as F
 
 from ..functions.readability import CriteriaConfig
 from ..functions.text import fingerprint, lang_guess, quality_score
+from ..operators.decontam import benchmark_overlap
 from ..operators.dedup import MH_COEFS_16, duplicate_clusters, minhash_lsh_pairs
 from ..operators.extract import extracted_text
+from ..operators.sampling import sample_keep_expr
 from .pipeline import extract_documents
 
 
@@ -52,8 +54,27 @@ def clean_corpus(
     band_rows: int = 4,
     hot_bucket_cap: int | None = 1000,
     shingle_n: int = 3,
+    benchmark: DataFrame | None = None,
+    decontam_min_shared: int = 2,
+    decontam_shingle_n: int = 3,
+    mix_rates: dict[str, float] | None = None,
+    mix_default_rate: float = 1.0,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (cleaned DataFrame, funnel DataFrame of per-stage counts).
+
+    Optional r3 stages, each off by default (funnel rows appear only when
+    active, so existing oracles are untouched):
+
+    * ``benchmark`` — a (doc_id, text) frame of eval-set texts: surviving
+      docs sharing >= ``decontam_min_shared`` distinct word
+      ``decontam_shingle_n``-gram shingles with any benchmark doc are
+      dropped (operators.decontam; the eval side is broadcast, the corpus
+      side never shuffles for it). Funnel stage ``after_decontam``.
+    * ``mix_rates`` — per-language keep rates (operators.sampling): the
+      decision is a hash of each doc's own id, so it is a pure Column
+      expression folded into the existing funnel aggregate and the final
+      semi-join — no extra pass, no shuffle, reproducible across retries.
+      Funnel stage ``after_mix``.
 
     Near-dup config (r2 VERDICT #4): the PRODUCTION curve is the default —
     16 permutations banded 4x4 (candidate knee near j~0.7) over 3-word
@@ -93,7 +114,7 @@ def clean_corpus(
 
     # slim doc-level projection OF THE CACHE (InMemoryTableScan prunes to
     # these columns; the span arrays never ride a shuffle)
-    slim = extracted.select("doc_id", "text", gate.alias("gate_ok"))
+    slim = extracted.select("doc_id", "text", "lang_guess", gate.alias("gate_ok"))
     gated = slim.where("gate_ok")
 
     # exact dedup: keep the smallest doc_id per content fingerprint
@@ -114,6 +135,30 @@ def clean_corpus(
     clusters = duplicate_clusters(pairs)  # checkpoint-backed flat scan
     losers = clusters.where(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
 
+    # optional decontamination: contaminated ids are bounded by benchmark
+    # similarity, a tiny set — broadcast is safe here (unlike the loser
+    # set, which can be a large fraction of the corpus)
+    contam = None
+    if benchmark is not None:
+        survivors = winners.join(losers, "doc_id", "left_anti")
+        contam = (
+            benchmark_overlap(
+                survivors,
+                benchmark,
+                n=decontam_shingle_n,
+                min_shared=decontam_min_shared,
+            )
+            .select(F.col("train_id").alias("doc_id"))
+            .distinct()
+        )
+
+    # optional stratified mixing — a pure Column flag, no extra pass
+    sampled = (
+        sample_keep_expr("lang_guess", mix_rates, "doc_id", mix_default_rate)
+        if mix_rates is not None
+        else F.lit(True)
+    )
+
     # action 2: remaining funnel stages in ONE aggregate over per-doc flags
     flags = (
         slim.join(
@@ -124,12 +169,23 @@ def clean_corpus(
             losers.select("doc_id", F.lit(True).alias("is_loser")), "doc_id", "left"
         )
     )
+    if contam is not None:
+        flags = flags.join(
+            F.broadcast(contam.select("doc_id", F.lit(True).alias("is_contam"))),
+            "doc_id",
+            "left",
+        )
+    else:
+        flags = flags.withColumn("is_contam", F.lit(False))
     is_winner = F.coalesce("is_winner", F.lit(False))
     is_loser = F.coalesce("is_loser", F.lit(False))
+    is_kept = is_winner & ~is_loser & ~F.coalesce("is_contam", F.lit(False))
     agg = flags.agg(
         F.sum(F.col("gate_ok").cast("long")).alias("extracted_valid"),
         F.sum(is_winner.cast("long")).alias("after_exact_dedup"),
         F.sum((is_winner & ~is_loser).cast("long")).alias("after_near_dedup"),
+        F.sum(is_kept.cast("long")).alias("after_decontam"),
+        F.sum((is_kept & sampled).cast("long")).alias("after_mix"),
     ).collect()[0]
     counts = {
         "input": n_input,
@@ -137,10 +193,18 @@ def clean_corpus(
         "after_exact_dedup": agg["after_exact_dedup"],
         "after_near_dedup": agg["after_near_dedup"],
     }
+    if benchmark is not None:
+        counts["after_decontam"] = agg["after_decontam"]
+    if mix_rates is not None:
+        counts["after_mix"] = agg["after_mix"]
     funnel = spark.createDataFrame(
         [(k, v) for k, v in counts.items()], "stage string, n long"
     )
 
-    keep = winners.join(losers, "doc_id", "left_anti").select("doc_id")
-    cleaned = extracted.join(keep, "doc_id", "left_semi")
+    keep = winners.join(losers, "doc_id", "left_anti")
+    if contam is not None:
+        keep = keep.join(F.broadcast(contam), "doc_id", "left_anti")
+    if mix_rates is not None:
+        keep = keep.join(slim.select("doc_id", "lang_guess"), "doc_id").where(sampled)
+    cleaned = extracted.join(keep.select("doc_id"), "doc_id", "left_semi")
     return cleaned, funnel

@@ -101,3 +101,23 @@ def test_q1_column_pruning(spark):
                 "l_returnflag", "l_linestatus", "l_shipdate"):
         assert col in scan
     assert "l_orderkey" not in scan and "l_tax" not in scan
+
+
+def test_decontam_broadcasts_benchmark_side(spark):
+    """The 100 TB training side must never shuffle for decontamination:
+    the benchmark shingle set rides a broadcast, the overlap count is a
+    hash aggregate — no SortMergeJoin, no cartesian fan-out."""
+    p = plan(harness.QUERIES["dc_benchmark_overlap"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_stratified_sample_is_scan_side_filter(spark):
+    """The sampling decision is a pure filter on the scan — the only
+    Exchange in samp_stratified belongs to the final per-lang aggregate,
+    and the keep predicate sits in a Filter above the FileScan."""
+    p = plan(harness.QUERIES["samp_stratified"](spark, SF))
+    assert p.count("Exchange") <= 1, p
+    assert "Filter" in p and "FileScan parquet" in p
+    assert "Window" not in p and "SortMergeJoin" not in p

@@ -85,3 +85,39 @@ def test_repetition_metrics_flags_planted_boilerplate(spark):
     m = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
     assert m[1]["dup_gram_frac"] > 0.9 and m[1]["top_gram_frac"] > 0.4
     assert m[2]["dup_gram_frac"] == 0.0
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    """Lloyd iteration (operators.similarity.kmeans_fit) over three planted
+    tight clusters: fitted centroids align with the cluster anchors."""
+    import random
+
+    from ai_textbook_processor_spark.operators.similarity import kmeans_fit
+
+    rng = random.Random(5)
+    anchors = [
+        [10.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 10.0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 10.0, 0, 0, 0, 0, 0],
+    ]
+    rows, vid = [], 0
+    for a in anchors:
+        for _ in range(30):
+            rows.append((vid, [x + rng.uniform(-0.5, 0.5) for x in a]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = df.where(F.col("vec_id").isin(0, 30, 60)).select(
+        (F.col("vec_id") / 30).cast("long").alias("cid"),
+        F.col("embedding").alias("cemb"),
+    )
+    fitted = {r["cid"]: r["cemb"] for r in kmeans_fit(df, seeds, iters=3).collect()}
+    assert len(fitted) == 3
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / (na * nb)
+
+    for cid, anchor in enumerate(anchors):
+        assert cos(fitted[cid], anchor) > 0.995, cid

@@ -163,3 +163,37 @@ def test_clean_corpus_catches_planted_near_dups(spark):
     assert len(group) == 1, (group, f)
     # near-dedup removed exactly the 2 planted variants, nothing else
     assert f["after_exact_dedup"] - f["after_near_dedup"] == 2, f
+
+
+def test_decontam_and_mix_stages(spark):
+    """r3 stages: a benchmark doc sharing 3-gram shingles with one corpus
+    doc knocks exactly that doc out at after_decontam; hash-stratified
+    mixing with en rate 0 then drops every guessed-en survivor, and the
+    returned cleaned frame matches the final funnel stage."""
+    from ai_textbook_processor_spark.functions.kernels import extract_document
+    from ai_textbook_processor_spark.operators.extract import TEXT_KINDS
+
+    docs = corpus_df(spark, 24, seed=42)
+    cfg = CriteriaConfig(grade_lo=-100.0, grade_hi=100.0)
+
+    # benchmark text = a verbatim fragment of doc 3's extracted text
+    d3 = gen_doc(3, 42)
+    ext = extract_document(d3["spans"])
+    text3 = " ".join(sp["text"] for sp in ext if sp["kind"] in TEXT_KINDS)
+    frag = " ".join(text3.split()[:40])
+    bench = spark.createDataFrame([("bench-0", frag)], "doc_id string, text string")
+
+    cleaned, funnel = clean_corpus(
+        docs, cfg, min_quality=0.0, benchmark=bench,
+        mix_rates={"en": 0.0}, mix_default_rate=1.0,
+    )
+    f = {r["stage"]: r["n"] for r in funnel.collect()}
+    assert f["after_near_dedup"] >= f["after_decontam"] >= f["after_mix"]
+    # the planted leak is gone, and it's a real drop (doc 3 survived dedup)
+    kept = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert d3["doc_id"] not in kept
+    assert f["after_decontam"] <= f["after_near_dedup"] - 1
+    # mixing dropped every guessed-en doc
+    langs = {r[0] for r in cleaned.select("lang_guess").distinct().collect()}
+    assert "en" not in langs
+    assert len(kept) == f["after_mix"]
