@@ -130,7 +130,21 @@ def minhash_lsh_pairs(
     k = len(coefs)
     if k % band_rows:
         raise ValueError(f"band_rows={band_rows} must divide K={k}")
-    sigs = minhash_signatures(df, id_col, text_col, coefs, shingle_n)
+    # The signature frame is referenced up to 5x downstream (band explode,
+    # bucket sizing, its join-back, and both verification sides); Spark has
+    # no cross-join common-subexpression reuse, so without materialization
+    # the shingle-explode + K-way minhash aggregation runs once PER
+    # reference (measured ~4x the whole stage cost on the pipeline path).
+    # localCheckpoint(lazy) computes it once on first action, backs it with
+    # MEMORY_AND_DISK blocks that ContextCleaner frees on GC (no pinned
+    # cache-manager entry), and is O(docs x K ints) — the slim artifact a
+    # 100 TB run would write to a table between the signature and join
+    # phases anyway. Lineage truncation is the local-mode tradeoff; on a
+    # cluster that must survive executor loss, write/read the signature
+    # table instead.
+    sigs = minhash_signatures(df, id_col, text_col, coefs, shingle_n).localCheckpoint(
+        eager=False
+    )
     if band_rows == 1:
         bands = sigs.select(
             id_col,
@@ -260,9 +274,16 @@ def duplicate_clusters(
     caches (r2 ADVICE). On a multi-executor cluster prefer a reliable
     ``checkpoint()`` dir if executor loss must be survivable.
     """
+    # materialize the pairs projection BEFORE the symmetric union: both
+    # union branches (and nothing else) then read the same blocks instead
+    # of each re-running the upstream pair-discovery lineage (for LSH input
+    # that lineage is the full MinHash pipeline — measured 2x its cost)
+    pairs_m = pairs.select(
+        F.col(a_col).alias("pa"), F.col(b_col).alias("pb")
+    ).localCheckpoint(eager=False)
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        pairs_m.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .union(pairs_m.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
         .distinct()
         .localCheckpoint(eager=False)
     )

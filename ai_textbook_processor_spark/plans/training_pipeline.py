@@ -150,6 +150,10 @@ def clean_corpus(
             )
             .select(F.col("train_id").alias("doc_id"))
             .distinct()
+            # tiny (bounded by benchmark similarity, not corpus size) and
+            # consumed twice (funnel flags + final keep): materialize once
+            # so the shingle join doesn't run twice
+            .localCheckpoint()
         )
 
     # optional stratified mixing — a pure Column flag, no extra pass
