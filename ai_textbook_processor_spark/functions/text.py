@@ -106,6 +106,31 @@ def unigram_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+
+def pii_scrub(col: str | Column) -> Column:
+    """Redact emails and phone-shaped numbers with typed placeholders —
+    the standard pre-training PII pass. Pure JVM regexp_replace chain
+    (full codegen, no UDF); both patterns are conservative constructs that
+    Java regex and RE2 (the DuckDB oracle engine) interpret identically."""
+    c = _c(col)
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def pii_counts(col: str | Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the column — the audit side of the
+    scrub (pipelines track redaction rates per source)."""
+    c = _c(col)
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("long"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0)).cast("long"),
+    )
+
+
 def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text", n: int = 2):
     """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
     Language Models: ... Gopher", §A1.1 repetition filters — public): per

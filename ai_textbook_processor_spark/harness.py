@@ -2030,6 +2030,50 @@ def src_csv_malformed(spark, sf_dir):
 
 
 @query(
+    "txt_pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-0199.' AS t
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def txt_pii_scrub(spark, sf_dir):
+    """PII redaction (functions.text.pii_scrub): emails + phone-shaped
+    numbers replaced with typed placeholders, plus per-doc redaction
+    counts. Deterministic PII is planted (every doc gets a synthetic
+    contact line), and the oracle compares md5 of the SCRUBBED text —
+    byte-identical redaction output, not just matching counts. Pure JVM
+    regexp chain on the scan; no shuffle until the (absent) aggregate."""
+    from .functions.text import pii_counts, pii_scrub
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-0199."),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    n_emails, n_phones = pii_counts("t")
+    return t.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(pii_scrub("t")).alias("scrubbed_md5"),
+    )
+
+
+@query(
     "txt_repetition",
     """
     WITH words AS (

@@ -92,6 +92,13 @@ def main(argv: list[str] | None = None) -> int:
         help="mega-document skew path: chunk-split docs above the span "
         "threshold, extract chunks on separate executors, reassemble",
     )
+    ap.add_argument(
+        "--span-threshold",
+        default=None,
+        help="salted path: docs above this span count are chunk-split; an "
+        "integer, or 'auto' to derive P99.9 from the corpus itself "
+        "(one percentile_approx pre-pass)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="extract_job", master=args.master)
@@ -187,7 +194,14 @@ def main(argv: list[str] | None = None) -> int:
             extract_documents_salted,
         )
 
-        out = extract_documents_salted(docs, cfg, n_buckets=args.buckets)
+        kw = {}
+        if args.span_threshold is not None:
+            kw["span_threshold"] = (
+                "auto"
+                if args.span_threshold == "auto"
+                else int(args.span_threshold)
+            )
+        out = extract_documents_salted(docs, cfg, n_buckets=args.buckets, **kw)
     else:
         out = extract_documents(docs, cfg, n_buckets=args.buckets)
 
