@@ -1163,6 +1163,66 @@ def rollup_agg(spark, sf_dir):
 
 
 @query(
+    "grouping_sets_agg",
+    """
+    SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+           count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE source IN ('src0','src1')
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def grouping_sets_agg(spark, sf_dir):
+    """Explicit GROUPING SETS (the irregular-hierarchy shape ROLLUP/CUBE
+    can't express: per-lang totals + per-source totals + grand total, no
+    (lang, source) cells) — one Expand + single aggregate exchange."""
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isin("src0", "src1"))
+    d.createOrReplaceTempView("_gs_docs")
+    return spark.sql(
+        """
+        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+               count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM _gs_docs
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+@query(
+    "scalar_arrays",
+    """
+    SELECT doc_id,
+           list_sort(regexp_extract_all(lower(text), '[a-z]+'))[1:5] AS first5,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                w -> length(w) > 6)) AS BIGINT) AS n_long,
+           array_to_string(list_transform(
+               list_sort(regexp_extract_all(lower(text), '[a-z]+'))[1:3],
+               w -> upper(w)), '-') AS tag
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def scalar_arrays(spark, sf_dir):
+    """Array-function battery (§2.9): sort / slice / distinct-count /
+    lambda filter / lambda transform / join — the collection kernel the
+    span pipelines are built from, pinned value-for-value against DuckDB's
+    list functions."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    sorted_words = F.array_sort(words)
+    return d.select(
+        "doc_id",
+        F.slice(sorted_words, 1, 5).alias("first5"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        F.size(F.filter(words, lambda w: F.length(w) > 6)).cast("long").alias(
+            "n_long"
+        ),
+        F.array_join(
+            F.transform(F.slice(sorted_words, 1, 3), lambda w: F.upper(w)), "-"
+        ).alias("tag"),
+    )
+
+
+@query(
     "cube_agg",
     """
     SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
