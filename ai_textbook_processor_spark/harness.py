@@ -1162,6 +1162,33 @@ def rollup_agg(spark, sf_dir):
     )
 
 
+_SUB_QUERIES_SQL = """
+    SELECT c.c_custkey,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT CAST(coalesce(round(max(o.o_totalprice), 2), 0.0) AS DOUBLE)
+            FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_total
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+      AND c.c_custkey < 300
+"""
+
+
+@query("sub_queries", _SUB_QUERIES_SQL)
+def sub_queries(spark, sf_dir):
+    """Subquery battery (§2.9): correlated EXISTS, NOT IN, and two
+    correlated scalar subqueries in the projection — Catalyst rewrites
+    these to semi/anti/left-outer aggregated joins; the DuckDB oracle runs
+    the identical SQL text, so the rewrite is value-checked shape for
+    shape."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SUB_QUERIES_SQL)
+
+
 @query(
     "grouping_sets_agg",
     """
@@ -2087,6 +2114,57 @@ def src_csv_malformed(spark, sf_dir):
         F.sum(F.length("_corrupt_record")).cast("long").alias("chars"),
     ).select("lang", "n", "chars")
     return clean.unionByName(quarantined)
+
+
+@query(
+    "ev_stream_windowed",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_stream_windowed(spark, sf_dir):
+    """Structured Streaming, oracle-checked: the events table is replayed
+    through readStream (file source) into a watermarked event-time
+    tumbling-window aggregate, drained to completion, and the FINAL
+    windowed counts — produced by the streaming engine's incremental
+    state, not a batch plan — must value-match the DuckDB batch oracle.
+    Complete-mode drain over a deterministic replay makes the comparison
+    exact; at scale the same topology runs unbounded with the watermark
+    bounding state (streaming/stream_extract.py carries the exactly-once
+    foreachBatch sink side)."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    src = tempfile.mkdtemp(prefix="atps_stream_ev_")
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/part-0.parquet")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("atps_ev_stream_windowed")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("atps_ev_stream_windowed").select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("h"),
+        "event_type",
+        "n",
+    )
 
 
 @query(
