@@ -1793,6 +1793,78 @@ def sim_ivf_multiprobe(spark, sf_dir):
 
 
 @query(
+    "sim_ivf_recall",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cemb,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS cnrm
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ), vecs AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS nrm
+      FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, embedding, nrm, cid FROM (
+        SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_sum([CAST(v.embedding[x] AS DOUBLE) * CAST(c.cemb[x] AS DOUBLE)
+                                    for x in generate_series(1, {_EMB_DIM})])
+                          / (v.nrm * c.cnrm) DESC, c.cid
+               ) AS rnk
+        FROM vecs v CROSS JOIN cents c
+      ) WHERE rnk = 1
+    ), q AS (
+      SELECT embedding AS qv, nrm AS qnrm, cid AS qcid FROM assigned WHERE vec_id = 0
+    ), ivf AS (
+      SELECT vec_id FROM (
+        SELECT a.vec_id,
+               row_number() OVER (
+                 ORDER BY list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                                    for x in generate_series(1, {_EMB_DIM})]) / (a.nrm * qnrm) DESC,
+                          a.vec_id
+               ) AS rn
+        FROM assigned a, q
+        WHERE a.cid = q.qcid AND a.vec_id != 0
+      ) WHERE rn <= 5
+    ), brute AS (
+      SELECT vec_id FROM (
+        SELECT a.vec_id,
+               row_number() OVER (
+                 ORDER BY list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                                    for x in generate_series(1, {_EMB_DIM})]) / (a.nrm * qnrm) DESC,
+                          a.vec_id
+               ) AS rn
+        FROM assigned a, q
+        WHERE a.vec_id != 0
+      ) WHERE rn <= 5
+    )
+    SELECT CAST((SELECT count(*) FROM ivf JOIN brute USING (vec_id)) AS BIGINT) AS n_hit,
+           round((SELECT count(*) FROM ivf JOIN brute USING (vec_id)) / 5.0, 2) AS recall_at_5
+    """,
+)
+def sim_ivf_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@5 of single-probe IVF against the
+    exact brute-force top-5 — the metric an ANN deployment tunes probe
+    count / nlist against. Composes the registered sim_ivf_topk query with
+    an exact cosine_topk rerank of the full corpus and counts the
+    overlap; the DuckDB oracle recomputes both rankings independently."""
+    from .operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf = QUERIES["sim_ivf_topk"](spark, sf_dir).select("vec_id")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    brute = cosine_topk(e.where(F.col("vec_id") != 0), qv, k=5).select("vec_id")
+    n_hit = ivf.join(brute, "vec_id").count()
+    return spark.createDataFrame(
+        [(n_hit, round(n_hit / 5.0, 2))], "n_hit long, recall_at_5 double"
+    )
+
+
+
+@query(
     "sim_kmeans_step",
     f"""
     WITH cents AS (

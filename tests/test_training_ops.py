@@ -121,3 +121,39 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
 
     for cid, anchor in enumerate(anchors):
         assert cos(fitted[cid], anchor) > 0.995, cid
+
+
+def test_pii_scrub_leaves_no_residual_pii(spark):
+    """Completeness property: after pii_scrub, NO substring matching the
+    email or phone pattern survives — on adversarial fixtures (adjacent
+    PII, punctuation-wrapped, phone-inside-email local parts, unicode
+    neighbors) and also cross-checked against Python re as the conceptual
+    twin of the JVM regex."""
+    import re
+
+    from ai_textbook_processor_spark.functions.text import (
+        EMAIL_RE,
+        PHONE_RE,
+        pii_scrub,
+    )
+
+    nasty = [
+        "plain text no pii at all",
+        "a@b.co x@y.io back-to-back a@b.co",
+        "(mail: first.last+tag@sub.domain-x.org), call 555-0100!",
+        "555-0199@example.com is an email not a phone",
+        "wrapped <user_1@ex.com> and [555-1234] and 999-0000.",
+        "unicode 日本語 user@例え.com stays (non-ascii domain unmatched) 123-4567",
+        "edge 12-3456 not a phone; 1234-5678 no match either",
+        "a@b.c single-letter tld unmatched; a@b.cd matched",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(nasty)], "i long, t string")
+    out = {r["i"]: r["s"] for r in df.select("i", pii_scrub("t").alias("s")).collect()}
+    email, phone = re.compile(EMAIL_RE), re.compile(PHONE_RE)
+    for i, t in enumerate(nasty):
+        s = out[i]
+        assert not email.search(s), (t, s)
+        assert not phone.search(s), (t, s)
+        # python-re twin produces the identical scrub
+        twin = phone.sub("<PHONE>", email.sub("<EMAIL>", t))
+        assert s == twin, (t, s, twin)
