@@ -357,6 +357,51 @@ def tp2_oracle(sf_dir: str) -> str:
     return _values_sql(lits, ["stage", "n"])
 
 
+def s6_oracle(sf_dir: str) -> str:
+    """Pure twin of harness.s6_image_features (same pack/decode kernels
+    driven without Spark). The Spark side stores the feature vector as
+    float32 (FEATURE_SCHEMA) before folding to double, so the twin
+    round-trips each element through float32 first."""
+    import numpy as np
+
+    from .operators.multimodal import image_features_payload, pack_asset
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pydict()
+    lits = []
+    for doc_id, n_chars in zip(t["doc_id"], t["n_chars"]):
+        if doc_id >= 50:
+            continue
+        aid = str(doc_id)
+        content = pack_asset(
+            aid, 200 + int(n_chars) % 900, 150 + (int(n_chars) * 7) % 900
+        )
+        d = image_features_payload(content)
+        feat_sum = 0.0
+        for v in d["feature"]:
+            feat_sum += float(np.float32(v))
+        lits.append(
+            (
+                _sql_str(aid),
+                f"CAST({d['width']} AS INTEGER)",
+                f"CAST({d['height']} AS INTEGER)",
+                f"CAST({d['out_width']} AS INTEGER)",
+                f"CAST({d['out_height']} AS INTEGER)",
+                f"CAST({len(content)} AS INTEGER)",
+                _sql_str(d["sample_b64"]),
+                f"CAST({_round_half_up(feat_sum, 4)!r} AS DOUBLE)",
+            )
+        )
+    return _values_sql(
+        lits,
+        [
+            "asset_id", "width", "height", "out_width", "out_height",
+            "byte_len", "sample_b64", "feat_sum",
+        ],
+    )
+
+
 def s4_oracle(sf_dir: str) -> str:
     """Pure twin of harness.s4_audio_transcribe (same pack/transcribe
     kernels driven without Spark)."""
@@ -393,4 +438,5 @@ def literal_oracles(sf_dir: str) -> dict[str, str]:
         "tp1_clean_corpus_funnel": tp1_oracle(sf_dir),
         "tp2_full_pipeline": tp2_oracle(sf_dir),
         "s4_audio_transcribe": s4_oracle(sf_dir),
+        "s6_image_features": s6_oracle(sf_dir),
     }

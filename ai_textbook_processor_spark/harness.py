@@ -2442,7 +2442,62 @@ def s4_audio_transcribe(spark, sf_dir):
     )
 
 
-@query("tp1_clean_corpus_funnel")  # rows-only: composed multi-stage pipeline
+@query("s6_image_features")  # literal oracle via golden_oracle.py
+def s6_image_features(spark, sf_dir):
+    """S6 image modality end-to-end: deterministic ATPS image assets
+    derived from the documents table -> header decode, aspect-preserving
+    resize arithmetic (the reference's exact max-side formula,
+    utils/utility.py:37-47), frame-sampled byte features, base64 sample
+    (operators.multimodal.extract_asset_features; pixel codecs behind the
+    documented seam). feat_sum folds the float32 feature vector
+    sequentially so the literal oracle matches bit-for-bit."""
+    import pandas as pd
+
+    from .operators.multimodal import extract_asset_features, pack_asset
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
+        F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": [
+                        pack_asset(
+                            a, 200 + int(n) % 900, 150 + (int(n) * 7) % 900
+                        )
+                        for a, n in zip(pdf["asset_id"], pdf["n_chars"])
+                    ],
+                    "media_type": ["image/atps"] * len(pdf),
+                    "width": [None] * len(pdf),
+                    "height": [None] * len(pdf),
+                }
+            )
+
+    from .operators.multimodal import ASSET_SCHEMA
+
+    assets = d.mapInPandas(mk, ASSET_SCHEMA)
+    feats = extract_asset_features(assets)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        "byte_len",
+        "sample_b64",
+        F.round(
+            F.aggregate(
+                "feature", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("feat_sum"),
+    )
+
+
+@query("tp1_clean_corpus_funnel")  # literal oracle via golden_oracle.py
 def tp1_clean_corpus_funnel(spark, sf_dir):
     """The full training-data pipeline (extract -> quality/lang gate ->
     exact dedup -> MinHash-LSH near-dedup) over harness-derived docs;

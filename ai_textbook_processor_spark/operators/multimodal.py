@@ -102,12 +102,38 @@ _FRAME_SAMPLES = 8
 _FEATURE_DIM = 16
 
 
+def image_features_payload(content: bytes) -> dict:
+    """Pure per-asset kernel: header decode -> resize math -> frame-sampled
+    byte features -> base64 sample. Shared by the Spark batch kernel and
+    the pure-Python golden producer (s6_image_features literal oracle),
+    the same single-source discipline as transcribe_payload / the text
+    kernels. Raises NotImplementedError for foreign codecs."""
+    w, h, c = parse_header(content)
+    ow, oh = fit_within(w, h)
+    payload = content[9:]
+    # frame sampling: _FRAME_SAMPLES evenly spaced byte windows
+    step = max(1, len(payload) // _FRAME_SAMPLES)
+    frames = [payload[i : i + 16] for i in range(0, len(payload), step)][
+        :_FRAME_SAMPLES
+    ]
+    feat = []
+    for i in range(_FEATURE_DIM):
+        frame = frames[i % len(frames)] if frames else b""
+        feat.append((sum(frame) / (255.0 * max(len(frame), 1))) if frame else 0.0)
+    return {
+        "width": w, "height": h,
+        "out_width": ow, "out_height": oh,
+        "sample_b64": base64.b64encode(content[:24]).decode(),
+        "feature": feat,
+    }
+
+
 def decode_features_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: header decode -> resize math -> frame-sampled
-    byte features -> base64 sample. Failures land in the ``error`` column
-    (quarantine channel), never raise out of the batch."""
+    """mapInPandas kernel over :func:`image_features_payload`. Failures
+    land in the ``error`` column (quarantine channel), never raise out of
+    the batch."""
     for pdf in batches:
         rows = []
         for rec in pdf.itertuples(index=False):
@@ -121,28 +147,7 @@ def decode_features_batches(
                 "sample_b64": None, "feature": None, "error": None,
             }
             try:
-                w, h, c = parse_header(content)
-                ow, oh = fit_within(w, h)
-                payload = content[9:]
-                # frame sampling: _FRAME_SAMPLES evenly spaced byte windows
-                step = max(1, len(payload) // _FRAME_SAMPLES)
-                frames = [payload[i : i + 16] for i in range(0, len(payload), step)][
-                    :_FRAME_SAMPLES
-                ]
-                feat = []
-                for i in range(_FEATURE_DIM):
-                    frame = frames[i % len(frames)] if frames else b""
-                    feat.append(
-                        (sum(frame) / (255.0 * max(len(frame), 1))) if frame else 0.0
-                    )
-                base.update(
-                    {
-                        "width": w, "height": h,
-                        "out_width": ow, "out_height": oh,
-                        "sample_b64": base64.b64encode(content[:24]).decode(),
-                        "feature": feat,
-                    }
-                )
+                base.update(image_features_payload(content))
             except NotImplementedError as e:
                 base["error"] = str(e)
             rows.append(base)
