@@ -15,22 +15,28 @@ never on raw spans. The funnel DataFrame is the pipeline's observability
 
 Single-extraction guarantee: the expensive fused extract UDF runs exactly
 once per pipeline invocation. The FULL extracted frame (spans +
-validation + text + quality + lang) is persisted MEMORY_AND_DISK right
-after extraction; every downstream branch — the dedup window, the LSH
-candidate join, the funnel aggregate, AND the returned ``cleaned`` frame —
-is a projection/filter of that one cache, so materializing ``cleaned``
-later still never re-runs the UDF (r2 ADVICE: a slim side-cache could not
-be substituted into the uncached parent plan, silently re-extracting).
-Verified by an accumulator test in test_training_pipeline.py that
-materializes BOTH the funnel and ``cleaned``. On a real 100 TB run the
-persist is the in-session analog of writing the extracted table to
-durable storage and reading it back — the extraction output is the
-artifact, recomputing it is always worse than spilling it.
+validation + text + quality + lang) is materialized with a lazy
+``localCheckpoint`` right after extraction; every downstream branch — the
+dedup window, the LSH candidate join, the funnel aggregate, AND the
+returned ``cleaned`` frame — is a projection/filter of that one
+checkpoint, so materializing ``cleaned`` later still never re-runs the
+UDF (r2 ADVICE: a slim side-cache could not be substituted into the
+uncached parent plan, silently re-extracting). Verified by an accumulator
+test in test_training_pipeline.py that materializes BOTH the funnel and
+``cleaned``. Checkpoint over ``persist`` (r3): blocks are freed by
+ContextCleaner when the frames are garbage collected, so repeated
+pipeline invocations in one session don't accumulate pinned
+cache-manager entries; MEMORY_AND_DISK backing spills instead of
+recomputing under pressure. On a real 100 TB run this is the in-session
+analog of writing the extracted table to durable storage and reading it
+back — the extraction output is the artifact, recomputing it is always
+worse than spilling it (and a cluster that must survive executor loss
+writes the real table; docstring note in operators/dedup.py applies
+here too).
 """
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -104,9 +110,9 @@ def clean_corpus(
         .withColumn("text", extracted_text("spans"))
         .withColumn("quality", quality_score("text"))
         .withColumn("lang_guess", lang_guess("text"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
-    n_input = extracted.count()  # action 1: populates the cache => extraction runs here, once
+    n_input = extracted.count()  # action 1: materializes the checkpoint => extraction runs here, once
 
     gate = F.col("is_valid") & (F.col("quality") >= min_quality)
     if langs:

@@ -90,6 +90,13 @@ def get_spark(
         b = b.config("spark.task.cpus", task_cpus)
     elif n_threads > TASK_CPUS_THRESHOLD:
         b = b.config("spark.task.cpus", "2")
+    # SPARK_GRAFT_EXTRA: semicolon-separated key=value conf overrides, so a
+    # bench harness or the driver can inject conf without code changes,
+    # e.g. SPARK_GRAFT_EXTRA='spark.sql.shuffle.partitions=64;spark.task.cpus=1'
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA", "").split(";")):
+        k, _, v = kv.partition("=")
+        if k and v:
+            b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
