@@ -121,6 +121,39 @@ def main(argv: list[str] | None = None) -> int:
         grade_lo=args.grade_lo, grade_hi=args.grade_hi, relaxed_relevance=args.relaxed
     )
 
+    if args.resumable and args.clean_corpus:
+        from ai_textbook_processor_spark.plans.training_pipeline import (
+            run_clean_corpus,
+        )
+
+        benchmark = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        mix_rates = None
+        if args.mix_rates:
+            mix_rates = {
+                k: float(v)
+                for k, v in (kv.split("=") for kv in args.mix_rates.split(","))
+            }
+        summary = run_clean_corpus(
+            spark,
+            docs,
+            args.out,
+            args.resumable,
+            cfg=cfg,
+            n_buckets=args.buckets,
+            buckets_per_commit=args.buckets_per_commit,
+            min_quality=args.min_quality,
+            benchmark=benchmark,
+            mix_rates=mix_rates,
+            mix_default_rate=args.mix_default,
+        )
+        summary["mode"] = "clean_corpus_resumable"
+        summary["wall_sec"] = round(time.monotonic() - t0, 3)
+        print(json.dumps(summary))
+        spark.stop()
+        return 0
+
     if args.resumable:
         from ai_textbook_processor_spark.plans.lineage import run_extraction
 

@@ -104,7 +104,6 @@ def clean_corpus(
     doc_ids, far beyond broadcast limits. A shuffle anti-join on a slim key
     column is cheap, and AQE still broadcasts when the set actually fits.
     """
-    spark = docs.sparkSession
     extracted = (
         extract_documents(docs, cfg)
         .withColumn("text", extracted_text("spans"))
@@ -113,7 +112,39 @@ def clean_corpus(
         .localCheckpoint(eager=False)
     )
     n_input = extracted.count()  # action 1: materializes the checkpoint => extraction runs here, once
+    return _stages_from_extracted(
+        extracted, n_input,
+        min_quality=min_quality, langs=langs,
+        near_dup_min_matches=near_dup_min_matches, coefs=coefs,
+        band_rows=band_rows, hot_bucket_cap=hot_bucket_cap,
+        shingle_n=shingle_n, benchmark=benchmark,
+        decontam_min_shared=decontam_min_shared,
+        decontam_shingle_n=decontam_shingle_n,
+        mix_rates=mix_rates, mix_default_rate=mix_default_rate,
+    )
 
+
+def _stages_from_extracted(
+    extracted: DataFrame,
+    n_input: int,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = (),
+    near_dup_min_matches: int = 12,
+    coefs=tuple(MH_COEFS_16),
+    band_rows: int = 4,
+    hot_bucket_cap: int | None = 1000,
+    shingle_n: int = 3,
+    benchmark: DataFrame | None = None,
+    decontam_min_shared: int = 2,
+    decontam_shingle_n: int = 3,
+    mix_rates: dict[str, float] | None = None,
+    mix_default_rate: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Gate -> dedup -> (decontam) -> (mix) over an already-materialized
+    extracted frame (columns: doc_id, spans, is_valid, text, quality,
+    lang_guess, ...). Shared by clean_corpus (in-session checkpoint) and
+    run_clean_corpus (durable staged table)."""
+    spark = extracted.sparkSession
     gate = F.col("is_valid") & (F.col("quality") >= min_quality)
     if langs:
         gate = gate & F.col("lang_guess").isin(*langs)
@@ -218,3 +249,58 @@ def clean_corpus(
         keep = keep.join(slim.select("doc_id", "lang_guess"), "doc_id").where(sampled)
     cleaned = extracted.join(keep.select("doc_id"), "doc_id", "left_semi")
     return cleaned, funnel
+
+
+def run_clean_corpus(
+    spark,
+    docs: DataFrame,
+    out_root: str,
+    run_id: str,
+    cfg: CriteriaConfig | None = None,
+    n_buckets: int = 32,
+    buckets_per_commit: int = 8,
+    fail_after_commits: int | None = None,
+    **stage_kw,
+) -> dict:
+    """Durable, resumable form of the nightly pipeline — the actual 100 TB
+    shape: extraction is staged to the catalog's ``extracted`` table with
+    per-bucket-group idempotent commits (plans.lineage.run_extraction, so
+    a crash resumes at bucket granularity and never re-extracts committed
+    work), then the dedup/gate/decontam/mix stages read the STAGED table
+    back — the durable analog of clean_corpus's in-session checkpoint —
+    and land ``cleaned`` + ``funnel`` tables under run-scoped idempotent
+    commit ids (a rerun of a completed run no-ops every commit: same
+    funnel, no duplicate rows). ``stage_kw`` forwards to
+    :func:`_stages_from_extracted` (min_quality, langs, benchmark,
+    mix_rates, ...).
+    """
+    from ..sources.io_catalog import Catalog
+    from .lineage import run_extraction
+
+    summary = run_extraction(
+        spark, docs, out_root, run_id,
+        n_buckets=n_buckets, buckets_per_commit=buckets_per_commit,
+        cfg=cfg, fail_after_commits=fail_after_commits,
+    )
+    catalog = Catalog(out_root)
+    staged = catalog.table("extracted").read(spark)
+    extracted = (
+        staged.withColumn("text", extracted_text("spans"))
+        .withColumn("quality", quality_score("text"))
+        .withColumn("lang_guess", lang_guess("text"))
+        .localCheckpoint(eager=False)
+    )
+    n_input = extracted.count()
+    cleaned, funnel = _stages_from_extracted(extracted, n_input, **stage_kw)
+
+    catalog.table("cleaned").append(
+        cleaned.drop("text"), commit_id=f"{run_id}-cleaned"
+    )
+    catalog.table("funnel").append(
+        funnel.withColumn("run_id", F.lit(run_id)).coalesce(1),
+        commit_id=f"{run_id}-funnel",
+    )
+    summary["funnel"] = {
+        r["stage"]: int(r["n"]) for r in funnel.collect()
+    }
+    return summary

@@ -102,3 +102,55 @@ def test_idempotent_commit_id(spark, tmp_path):
     tbl.append(docs, commit_id="fixed-id")  # duplicate commit
     assert tbl.read(spark).count() == 12
     assert len(tbl.manifests()) == 1
+
+
+def test_staged_clean_corpus_kill_resume_and_idempotent_rerun(spark, tmp_path):
+    """run_clean_corpus (durable pipeline): kill during the extraction
+    stage, resume to completion, and the cleaned/funnel tables must equal
+    the in-session clean_corpus on the same docs; a full rerun of the
+    completed run no-ops every commit (no duplicate rows)."""
+    from ai_textbook_processor_spark.functions.readability import CriteriaConfig
+    from ai_textbook_processor_spark.plans.training_pipeline import (
+        clean_corpus,
+        run_clean_corpus,
+    )
+
+    docs = corpus_df(spark, N_DOCS, seed=9)
+    cfg = CriteriaConfig(grade_lo=-100.0, grade_hi=100.0)
+    out = str(tmp_path / "staged")
+
+    with pytest.raises(SimulatedFailure):
+        run_clean_corpus(
+            spark, docs, out, "run-cc", cfg=cfg, n_buckets=N_BUCKETS,
+            buckets_per_commit=PER_COMMIT, fail_after_commits=2,
+            min_quality=0.1,
+        )
+    # resume: only the remaining extraction buckets run, stages complete
+    summary = run_clean_corpus(
+        spark, docs, out, "run-cc", cfg=cfg, n_buckets=N_BUCKETS,
+        buckets_per_commit=PER_COMMIT, min_quality=0.1,
+    )
+    assert summary["buckets_resumed"] == 2 * PER_COMMIT
+    assert summary["buckets_processed"] == N_BUCKETS - 2 * PER_COMMIT
+
+    cat = Catalog(out)
+    staged_cleaned = cat.table("cleaned").read(spark)
+    ref_cleaned, ref_funnel = clean_corpus(docs, cfg, min_quality=0.1)
+    assert spans_inventory(staged_cleaned) == spans_inventory(ref_cleaned)
+    assert summary["funnel"] == {
+        r["stage"]: int(r["n"]) for r in ref_funnel.collect()
+    }
+
+    # full rerun: extraction resumes to zero work, cleaned/funnel commits
+    # no-op -> identical row counts
+    n_before = staged_cleaned.count()
+    summary2 = run_clean_corpus(
+        spark, docs, out, "run-cc", cfg=cfg, n_buckets=N_BUCKETS,
+        buckets_per_commit=PER_COMMIT, min_quality=0.1,
+    )
+    assert summary2["buckets_processed"] == 0
+    assert cat.table("cleaned").read(spark).count() == n_before
+    assert (
+        cat.table("funnel").read(spark).where(F.col("run_id") == "run-cc").count()
+        == len(summary["funnel"])
+    )
