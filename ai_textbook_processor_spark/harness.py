@@ -2240,6 +2240,43 @@ def ev_stream_windowed(spark, sf_dir):
 
 
 @query(
+    "pk_sequence_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 10000 % 8 AS bucket,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9'']+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT bucket, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / 512.0) AS BIGINT) AS bin_idx
+      FROM toks
+    )
+    SELECT bucket, bin_idx, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM packed GROUP BY bucket, bin_idx
+    """,
+)
+def pk_sequence_packing(spark, sf_dir):
+    """Sequence packing (operators.packing): documents assigned to
+    ~512-token training bins by deterministic cumulative packing WITHIN
+    hash buckets — the window is partitioned by bucket, so no global
+    WindowExec funnel; one shuffle + partitioned window at any corpus
+    size. Output is the per-bin occupancy view a pipeline monitors."""
+    from .functions.text import token_count
+    from .operators.packing import bin_stats, pack_bins
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return bin_stats(pack_bins(d, budget=512, n_buckets=8))
+
+
+@query(
     "txt_pii_scrub",
     """
     WITH aug AS (

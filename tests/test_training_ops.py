@@ -157,3 +157,30 @@ def test_pii_scrub_leaves_no_residual_pii(spark):
         # python-re twin produces the identical scrub
         twin = phone.sub("<PHONE>", email.sub("<EMAIL>", t))
         assert s == twin, (t, s, twin)
+
+
+def test_pack_bins_overflow_bound_and_contiguity(spark):
+    """Cumulative packing contract: within every bucket, bin indices are
+    contiguous from 0, and a bin's token total exceeds the budget only by
+    (part of) its final document — sum_tokens - last_doc_tokens < budget;
+    any bin except the bucket's last is at least budget-full when its
+    successor exists."""
+    from ai_textbook_processor_spark.operators.packing import bin_stats, pack_bins
+
+    rows = [(i, 37 + (i * 13) % 211) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    budget = 300
+    packed = pack_bins(df, budget=budget, n_buckets=4)
+    data = packed.orderBy("bucket", "doc_id").collect()
+
+    by_bin = {}
+    for r in data:
+        by_bin.setdefault((r["bucket"], r["bin_idx"]), []).append(r["n_tokens"])
+    for (b, k), toks in by_bin.items():
+        assert sum(toks) - toks[-1] < budget, (b, k)
+    for b in {r["bucket"] for r in data}:
+        bins = sorted(k for (bb, k) in by_bin if bb == b)
+        assert bins == list(range(len(bins))), b
+
+    stats = bin_stats(packed).collect()
+    assert sum(r["n_docs"] for r in stats) == 600
