@@ -105,6 +105,7 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     min_matches: int = 3, coefs=tuple(MH_COEFS), band_rows: int = 1,
     hot_bucket_cap: int | None = None, shingle_n: int = 1,
+    materialize_sigs: bool | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing >= min_matches of K signature
     components, discovered through the band-bucket join.
@@ -141,10 +142,15 @@ def minhash_lsh_pairs(
     # 100 TB run would write to a table between the signature and join
     # phases anyway. Lineage truncation is the local-mode tradeoff; on a
     # cluster that must survive executor loss, write/read the signature
-    # table instead.
-    sigs = minhash_signatures(df, id_col, text_col, coefs, shingle_n).localCheckpoint(
-        eager=False
-    )
+    # table instead. Default heuristic: materialize when the signature is
+    # expensive (shingled terms or a wide permutation set); the 4-perm
+    # unigram config recomputes faster than the checkpoint's block I/O
+    # costs (measured ~10-20% overhead on small standalone queries).
+    sigs = minhash_signatures(df, id_col, text_col, coefs, shingle_n)
+    if materialize_sigs is None:
+        materialize_sigs = shingle_n > 1 or len(coefs) > 8
+    if materialize_sigs:
+        sigs = sigs.localCheckpoint(eager=False)
     if band_rows == 1:
         bands = sigs.select(
             id_col,
