@@ -167,14 +167,21 @@ def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text", n: in
 
 
 def rolling_fingerprints(col: str | Column, n: int = 3) -> Column:
-    """Array of hashed n-gram (word) shingles — the MinHash input."""
+    """Array of word n-gram shingles — the MinHash / decontamination input.
+
+    Built as arrays_zip of n shifted slices so the higher-order transform's
+    lambda references ONLY its own variable: an outer expression inside a
+    lambda body is re-evaluated per element, and the original
+    `transform(sequence, i -> element_at(words, i+j))` re-ran the regexp
+    tokenizer n times per shingle — quadratic in document length, hours on
+    a mega doc (same bug as operators/dedup._shingle_expr, found via the
+    96k-corpus pipeline hang)."""
     c = _c(col)
     words = F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), 0)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, j + 1, cnt) for j in range(n)])
     shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+        zipped, lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(n)])
     )
-    return F.when(F.size(words) >= n, shingles).otherwise(F.array())
+    # null text -> empty shingle set (matches the pre-r3 when/otherwise)
+    return F.coalesce(shingles, F.array().cast("array<string>"))

@@ -62,6 +62,19 @@ def exact_stats(df: DataFrame, group_col: str, text_col: str = "text") -> DataFr
     )
 
 
+def _shingle_expr(toks, n: int):
+    """Word n-gram shingles as a pure array expression, lambda-safe: zip n
+    shifted slices of the token array and concat each struct — the token
+    array is referenced only at project level (evaluated once per row, or
+    n times without subexpression elimination — never once per ELEMENT).
+    arrays_zip names unnamed inputs positionally ("0".."n-1")."""
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, cnt) for j in range(n)])
+    return F.transform(
+        zipped, lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(n)])
+    )
+
+
 def _words(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1
 ) -> DataFrame:
@@ -74,13 +87,16 @@ def _words(
     if shingle_n == 1:
         terms = toks
     else:
-        terms = F.when(
-            F.size(toks) >= shingle_n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - shingle_n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        # CRITICAL: the lambda must reference ONLY its own variable. An
+        # outer expression used inside a higher-order-function body is
+        # re-evaluated per element — the original
+        # `transform(sequence(...), i -> slice(toks, i+1, n))` re-ran the
+        # regexp tokenizer once per shingle, turning a 500k-token mega doc
+        # into 500k re-tokenizations of megabytes of text (hours per doc;
+        # found by the 96k-corpus pipeline run hanging in the signature
+        # stage). arrays_zip of n shifted slices builds the same shingles
+        # with toks evaluated at the project level only.
+        terms = _shingle_expr(toks, shingle_n)
     return df.select(id_col, F.explode(terms).alias("w")).distinct()
 
 

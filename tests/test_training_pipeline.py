@@ -197,3 +197,26 @@ def test_decontam_and_mix_stages(spark):
     langs = {r[0] for r in cleaned.select("lang_guess").distinct().collect()}
     assert "en" not in langs
     assert len(kept) == f["after_mix"]
+
+
+def test_clean_corpus_partitioning_independent(spark):
+    """Determinism under physical layout: the funnel and the kept-doc set
+    must not depend on input partitioning (cluster-canonical keep is
+    min-id based, sampling/fingerprints are value hashes — nothing
+    order-dependent survives)."""
+    docs = corpus_df(spark, 24, seed=3)
+    cfg = CriteriaConfig(grade_lo=-100.0, grade_hi=100.0)
+
+    def run(d):
+        cleaned, funnel = clean_corpus(
+            d, cfg, min_quality=0.1, mix_rates={"en": 0.5}, mix_default_rate=1.0
+        )
+        return (
+            {r["stage"]: r["n"] for r in funnel.collect()},
+            sorted(r["doc_id"] for r in cleaned.select("doc_id").collect()),
+        )
+
+    f1, k1 = run(docs.repartition(1))
+    f2, k2 = run(docs.repartition(13, "doc_id"))
+    assert f1 == f2
+    assert k1 == k2
