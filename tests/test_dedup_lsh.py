@@ -127,3 +127,29 @@ def test_duplicate_clusters_deep_chain_truncates_lineage(spark):
     # its optimized plan must contain no Join and no Aggregate
     plan = clusters._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan and "Aggregate" not in plan, plan
+
+
+def test_mega_doc_shingling_is_linear(spark):
+    """Regression guard for the r3 quadratic-shingling bug (HOF lambda
+    re-evaluating the outer tokenizer once per element): a 200k-token doc
+    must shingle in seconds, not hours. 30 s is ~100x the measured fixed
+    cost and ~1/500th of the quadratic one."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ai_textbook_processor_spark.functions.text import rolling_fingerprints
+    from ai_textbook_processor_spark.operators.dedup import (
+        MH_COEFS_16,
+        minhash_signatures,
+    )
+
+    mega = " ".join(f"tok{k % 1499}q{k % 53}" for k in range(100_000))
+    df = spark.createDataFrame([("m1", mega)], "doc_id string, text string")
+
+    t0 = time.monotonic()
+    n = df.select(F.size(rolling_fingerprints("text", 3)).alias("n")).collect()[0]["n"]
+    sig = minhash_signatures(df, "doc_id", "text", tuple(MH_COEFS_16), 3).collect()
+    wall = time.monotonic() - t0
+    assert n > 150_000 and len(sig) == 1
+    assert wall < 30, f"mega-doc shingling took {wall:.1f}s"
