@@ -85,3 +85,42 @@ def test_unigram_entropy_matches_pure(spark):
         assert got[i]["n_words"] == n
         assert abs(got[i]["entropy"] - h) < 1e-4, (t, got[i]["entropy"], h)
     assert got[0]["entropy"] == 0.0 and got[1]["entropy"] == 2.0
+
+
+def test_shingle_expr_differential_fuzz(spark):
+    """Differential fuzz of the r3 zip-of-slices shingle builder against a
+    pure-Python twin over adversarial texts (unicode, punctuation runs,
+    empty/short, repeated words) for n in {2, 3, 5} — the same construction
+    backs rolling_fingerprints AND dedup._shingle_expr, so one gate pins
+    both."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ai_textbook_processor_spark.functions.text import rolling_fingerprints
+
+    texts = [
+        "", "a", "a b", "a b c", "one two three four five",
+        "x " * 200, "UPPER lower MiXeD 123 split99here",
+        "日本語テキスト with ascii islands here and there",
+        "punct,punct.punct!?;:-- gaps   and\t\ttabs\nnewlines",
+        "'quoted' words aren't split the same way maybe",
+        "repeat repeat repeat repeat repeat repeat",
+        "a1b2c3 d4e5 f6g7h8 i9 j0",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    for n in (2, 3, 5):
+        got = {
+            r["i"]: r["s"]
+            for r in df.select(
+                "i", rolling_fingerprints("t", n).alias("s")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            toks = re.findall("[a-z]+", t.lower())
+            want = [
+                " ".join(toks[j : j + n])
+                for j in range(max(len(toks) - n + 1, 0))
+            ]
+            assert got[i] == want, (n, i, t, got[i], want)
