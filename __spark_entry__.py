@@ -36,11 +36,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every query. SQL-expressible ops use
-    hand-written ANSI oracles; the extraction/generation/pipeline entries
-    (x1, x2, g1, tp1) use literal-table oracles whose values are computed
-    independently by the pure-Python golden producer (shared kernels +
-    pandas scorer, zero Spark) over the same parquet tables — see
-    ai_textbook_processor_spark/golden_oracle.py."""
+    hand-written ANSI oracles; the extraction/generation/pipeline/modality
+    entries (x1, x2, g1, tp1, tp2, s4, s6) use literal-table oracles whose
+    values are computed independently by the pure-Python golden producer
+    (shared kernels + pandas scorer, zero Spark) over the same parquet
+    tables — see ai_textbook_processor_spark/golden_oracle.py."""
     from ai_textbook_processor_spark.golden_oracle import literal_oracles
 
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
