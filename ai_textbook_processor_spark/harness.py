@@ -2353,6 +2353,39 @@ def txt_pii_scrub(spark, sf_dir):
 
 
 @query(
+    "src_schema_evolution",
+    """
+    SELECT CASE WHEN doc_id < 250 THEN '_missing' ELSE lang END AS lang,
+           count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM documents GROUP BY 1
+    """,
+)
+def src_schema_evolution(spark, sf_dir):
+    """Schema evolution on ingest (§2.1): an early batch written WITHOUT
+    the lang column and a later batch WITH it, read back together via
+    mergeSchema — old rows surface the added column as null (quarantined
+    under '_missing'), nothing is dropped or errors. The crawl-ingest
+    reality: upstream producers add fields mid-corpus."""
+    d = _t(spark, sf_dir, "documents")
+    path = "/tmp/atps_src_schema_evo"
+    d.where(F.col("doc_id") < 250).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/b1")
+    d.where(F.col("doc_id") >= 250).select("doc_id", "text", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/b2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{path}/b1", f"{path}/b2"
+    )
+    return merged.groupBy(
+        F.coalesce("lang", F.lit("_missing")).alias("lang")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).cast("long").alias("chars"),
+    )
+
+
+@query(
     "txt_repetition",
     """
     WITH words AS (
