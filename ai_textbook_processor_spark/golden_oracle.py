@@ -402,6 +402,43 @@ def s6_oracle(sf_dir: str) -> str:
     )
 
 
+def mm_video_oracle(sf_dir: str) -> str:
+    """Pure twin of harness.mm_video_frames (shared pack/sample kernels
+    driven without Spark)."""
+    from .operators.multimodal import pack_video, video_frames_payload
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pydict()
+    lits = []
+    for doc_id, n_chars in zip(t["doc_id"], t["n_chars"]):
+        if doc_id >= 40:
+            continue
+        aid, n = str(doc_id), int(n_chars)
+        d = video_frames_payload(
+            pack_video(aid, 640 + n % 1280, 360 + n % 720,
+                       24 + (n % 2) * 6, 120 + (n * 3) % 480)
+        )
+        for fr in d["frames"]:
+            lits.append(
+                (
+                    _sql_str(aid),
+                    f"CAST({d['width']} AS INTEGER)",
+                    f"CAST({d['fps']} AS INTEGER)",
+                    f"CAST({d['n_frames']} AS INTEGER)",
+                    f"CAST({d['duration_ms']} AS INTEGER)",
+                    f"CAST({fr['frame_idx']} AS INTEGER)",
+                    f"CAST({fr['t_ms']} AS INTEGER)",
+                    f"CAST({_round_half_up(fr['feat_mean'], 5)!r} AS DOUBLE)",
+                )
+            )
+    return _values_sql(
+        lits,
+        ["asset_id", "width", "fps", "n_frames", "duration_ms",
+         "frame_idx", "t_ms", "feat_mean"],
+    )
+
+
 def s4_oracle(sf_dir: str) -> str:
     """Pure twin of harness.s4_audio_transcribe (same pack/transcribe
     kernels driven without Spark)."""
@@ -439,4 +476,5 @@ def literal_oracles(sf_dir: str) -> dict[str, str]:
         "tp2_full_pipeline": tp2_oracle(sf_dir),
         "s4_audio_transcribe": s4_oracle(sf_dir),
         "s6_image_features": s6_oracle(sf_dir),
+        "mm_video_frames": mm_video_oracle(sf_dir),
     }

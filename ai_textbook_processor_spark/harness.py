@@ -2599,6 +2599,54 @@ def s6_image_features(spark, sf_dir):
     )
 
 
+@query("mm_video_frames")  # literal oracle via golden_oracle.py
+def mm_video_frames(spark, sf_dir):
+    """Video modality end-to-end (task brief: image/audio/video as opaque
+    binary): deterministic ATPV video assets derived from the documents
+    table -> header decode (w/h/fps/frame count), duration math, k evenly
+    spaced frame samples with per-frame byte-window features
+    (operators.multimodal.sample_video_assets; real codecs behind the
+    documented seam). Output is the exploded per-frame view a vision
+    encoder would consume."""
+    import pandas as pd
+
+    from .operators.multimodal import pack_video, sample_video_assets
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+        F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": [
+                        pack_video(
+                            a,
+                            640 + int(n) % 1280,
+                            360 + int(n) % 720,
+                            24 + (int(n) % 2) * 6,
+                            120 + (int(n) * 3) % 480,
+                        )
+                        for a, n in zip(pdf["asset_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(mk, "asset_id string, content binary")
+    v = sample_video_assets(assets)
+    return v.select(
+        "asset_id", "width", "fps", "n_frames", "duration_ms",
+        F.explode("frames").alias("f"),
+    ).select(
+        "asset_id", "width", "fps", "n_frames", "duration_ms",
+        F.col("f.frame_idx").alias("frame_idx"),
+        F.col("f.t_ms").alias("t_ms"),
+        F.round("f.feat_mean", 5).alias("feat_mean"),
+    )
+
+
 @query("tp1_clean_corpus_funnel")  # literal oracle via golden_oracle.py
 def tp1_clean_corpus_funnel(spark, sf_dir):
     """The full training-data pipeline (extract -> quality/lang gate ->

@@ -279,3 +279,113 @@ def transcribe_assets(assets: DataFrame) -> DataFrame:
     feeds the same extract/validate pipeline as any text document (the
     reference pipes whisper output into its text flow the same way)."""
     return assets.mapInPandas(transcribe_batches, schema=TRANSCRIPT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video modality: opaque binary + typed metadata, frame-sampling plumbing
+# (task brief: image/audio/video as opaque binary columns). Same split as
+# images/audio: REAL header parse / frame-index selection / per-frame
+# feature math over the deterministic in-repo ATPV payload; real video
+# codecs (h264 etc.) behind the NotImplementedError seam. Frame sampling
+# mirrors what a training pipeline does before a vision encoder: pick k
+# evenly spaced frames, one feature vector per sampled frame.
+# ---------------------------------------------------------------------------
+
+_VIDEO_MAGIC = b"ATPV"
+_VIDEO_SAMPLE_FRAMES = 4
+
+
+def pack_video(
+    asset_id: str, width: int, height: int, fps: int = 24, n_frames: int = 240
+) -> bytes:
+    """Deterministic synthetic video payload: 16-byte header + xorshift
+    byte stream standing in for encoded frames (capped sample)."""
+    seed = int.from_bytes(hashlib.md5(asset_id.encode()).digest()[8:12], "big") or 1
+    n = min(n_frames * 64, 8192)
+    out = bytearray(_VIDEO_MAGIC + struct.pack(">HHHH", width, height, fps, n_frames))
+    x = seed
+    for _ in range(n):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        out.append(x & 0xFF)
+    return bytes(out)
+
+
+def parse_video_header(content: bytes) -> tuple[int, int, int, int]:
+    if content is None or len(content) < 12 or content[:4] != _VIDEO_MAGIC:
+        raise NotImplementedError(
+            "video codecs not available in this environment; only the "
+            "in-repo synthetic ATPV format is decodable"
+        )
+    w, h, fps, n_frames = struct.unpack(">HHHH", content[4:12])
+    return w, h, fps, n_frames
+
+
+def video_frames_payload(content: bytes) -> dict:
+    """Pure per-asset kernel (shared with the golden producer): header
+    decode -> duration math -> k evenly spaced frame indices -> per-frame
+    byte-window mean feature."""
+    w, h, fps, n_frames = parse_video_header(content)
+    duration_ms = int(n_frames * 1000 / max(fps, 1))
+    payload = content[12:]
+    k = min(_VIDEO_SAMPLE_FRAMES, max(n_frames, 1))
+    idxs = [i * n_frames // k for i in range(k)]
+    frames = []
+    for fi in idxs:
+        lo = fi * len(payload) // max(n_frames, 1)
+        window = payload[lo : lo + 32]
+        mean = (sum(window) / (255.0 * max(len(window), 1))) if window else 0.0
+        frames.append({"frame_idx": fi, "t_ms": int(fi * 1000 / max(fps, 1)),
+                       "feat_mean": mean})
+    return {
+        "width": w, "height": h, "fps": fps, "n_frames": n_frames,
+        "duration_ms": duration_ms, "frames": frames,
+    }
+
+
+VIDEO_FRAME_TYPE = T.StructType(
+    [
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t_ms", T.IntegerType()),
+        T.StructField("feat_mean", T.DoubleType()),
+    ]
+)
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("frames", T.ArrayType(VIDEO_FRAME_TYPE), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def sample_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel over :func:`video_frames_payload`; failures land
+    in the error column, never raise out of the batch."""
+    cols = [f.name for f in VIDEO_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for rec in pdf.itertuples(index=False):
+            base = {
+                "asset_id": rec.asset_id, "width": None, "height": None,
+                "fps": None, "n_frames": None, "duration_ms": None,
+                "frames": None, "error": None,
+            }
+            try:
+                base.update(video_frames_payload(rec.content))
+            except NotImplementedError as e:
+                base["error"] = str(e)
+            rows.append(base)
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def sample_video_assets(assets: DataFrame) -> DataFrame:
+    """Video frame sampling as a table stage: (asset_id, content) ->
+    typed metadata + k sampled frame features; narrow, no shuffle."""
+    return assets.mapInPandas(sample_video_batches, schema=VIDEO_SCHEMA)

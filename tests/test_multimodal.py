@@ -62,3 +62,32 @@ def test_spark_feature_extraction(spark):
         for r in extract_asset_features(assets.repartition(4)).collect()
     }
     assert out2["img-0"] == ok["feature"]
+
+
+def test_video_frames_and_error_channel(spark):
+    """Video modality (r3): ATPV assets decode to typed metadata + k
+    evenly spaced frame samples; foreign codec bytes land in the error
+    column (quarantine), never raise."""
+    from ai_textbook_processor_spark.operators.multimodal import (
+        pack_video,
+        sample_video_assets,
+        video_frames_payload,
+    )
+
+    rows = [
+        ("v1", pack_video("v1", 1920, 1080, 30, 300)),
+        ("v2", b"\x00\x00\x00\x18ftypmp42 not decodable here"),
+        ("v3", None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id string, content binary")
+    got = {r["asset_id"]: r for r in sample_video_assets(df).collect()}
+
+    ok = got["v1"]
+    assert (ok["width"], ok["fps"], ok["n_frames"]) == (1920, 30, 300)
+    assert ok["duration_ms"] == 10000 and len(ok["frames"]) == 4
+    golden = video_frames_payload(pack_video("v1", 1920, 1080, 30, 300))
+    assert [f["frame_idx"] for f in ok["frames"]] == [
+        f["frame_idx"] for f in golden["frames"]
+    ]
+    for bad in ("v2", "v3"):
+        assert got[bad]["error"] is not None and got[bad]["frames"] is None
