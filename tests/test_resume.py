@@ -154,3 +154,61 @@ def test_staged_clean_corpus_kill_resume_and_idempotent_rerun(spark, tmp_path):
         cat.table("funnel").read(spark).where(F.col("run_id") == "run-cc").count()
         == len(summary["funnel"])
     )
+
+
+def test_crash_between_data_commit_and_lineage_append(spark, tmp_path, monkeypatch):
+    """The write-then-log gap (plans/lineage.py docstring): a crash AFTER a
+    bucket group's data commit but BEFORE its lineage row lands leaves a
+    committed-but-unrecorded group. The resume must re-run that group, the
+    idempotent data commit must no-op (same commit id -> no duplicate
+    rows), and the lineage row must land on the retry."""
+    from ai_textbook_processor_spark.sources import io_catalog
+
+    docs = corpus_df(spark, N_DOCS, seed=4)
+    out = str(tmp_path / "gap")
+
+    real_append = io_catalog.LocalTable.append
+    state = {"lineage_appends": 0}
+
+    def gappy_append(self, df, commit_id=None, meta=None):
+        if self.dir.endswith("/lineage"):
+            state["lineage_appends"] += 1
+            if state["lineage_appends"] == 2:
+                raise SimulatedFailure("crash in the write-then-log gap")
+        return real_append(self, df, commit_id=commit_id, meta=meta)
+
+    monkeypatch.setattr(io_catalog.LocalTable, "append", gappy_append)
+    with pytest.raises(SimulatedFailure):
+        run_extraction(
+            spark, docs, out, "run-gap", n_buckets=N_BUCKETS,
+            buckets_per_commit=PER_COMMIT,
+        )
+    monkeypatch.setattr(io_catalog.LocalTable, "append", real_append)
+
+    cat = Catalog(out)
+    # group 2's DATA is committed but its lineage row is missing
+    committed = committed_buckets(spark, cat, "run-gap")
+    assert len(committed) == PER_COMMIT  # only group 1 recorded
+
+    summary = run_extraction(
+        spark, docs, out, "run-gap", n_buckets=N_BUCKETS,
+        buckets_per_commit=PER_COMMIT,
+    )
+    # resume re-ran every unrecorded bucket (incl. the committed-but-
+    # unrecorded group), and the idempotent commit kept rows exact
+    assert summary["buckets_resumed"] == PER_COMMIT
+    assert summary["buckets_processed"] == N_BUCKETS - PER_COMMIT
+    assert summary["docs_total"] == N_DOCS
+
+    final = cat.table("extracted").read(spark)
+    assert final.count() == N_DOCS
+    assert final.select("doc_id").distinct().count() == N_DOCS
+
+    # lineage now covers every bucket exactly once
+    lineage = cat.table("lineage").read(spark)
+    per_bucket = (
+        lineage.where(F.col("run_id") == "run-gap")
+        .groupBy("partition_id").count().collect()
+    )
+    assert len(per_bucket) == N_BUCKETS
+    assert all(r["count"] == 1 for r in per_bucket)
