@@ -1895,6 +1895,108 @@ def sim_ivf_recall(spark, sf_dir):
     )
 
 
+@query(
+    "sim_ivf_recall_mp",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cemb,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS cnrm
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ), vecs AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS nrm
+      FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, embedding, nrm, cid FROM (
+        SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_sum([CAST(v.embedding[x] AS DOUBLE) * CAST(c.cemb[x] AS DOUBLE)
+                                    for x in generate_series(1, {_EMB_DIM})])
+                          / (v.nrm * c.cnrm) DESC, c.cid
+               ) AS rnk
+        FROM vecs v CROSS JOIN cents c
+      ) WHERE rnk = 1
+    ), qcells AS (
+      SELECT cid, rnk FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY list_sum([CAST(v.embedding[x] AS DOUBLE) * CAST(c.cemb[x] AS DOUBLE)
+                                    for x in generate_series(1, {_EMB_DIM})])
+                          / (v.nrm * c.cnrm) DESC, c.cid
+               ) AS rnk
+        FROM vecs v CROSS JOIN cents c WHERE v.vec_id = 0
+      ) WHERE rnk <= 2
+    ), q AS (
+      SELECT embedding AS qv, nrm AS qnrm FROM vecs WHERE vec_id = 0
+    ), ranked AS (
+      SELECT a.vec_id, a.cid,
+             row_number() OVER (
+               ORDER BY list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                                  for x in generate_series(1, {_EMB_DIM})]) / (a.nrm * qnrm) DESC,
+                        a.vec_id
+             ) AS rn
+      FROM assigned a, q WHERE a.vec_id != 0
+    ), brute AS (
+      SELECT vec_id FROM ranked WHERE rn <= 5
+    )
+    SELECT probes, CAST(n_hit AS BIGINT) AS n_hit,
+           round(n_hit / 5.0, 2) AS recall_at_5
+    FROM (
+      SELECT 1 AS probes,
+             (SELECT count(*) FROM brute b
+              JOIN (SELECT vec_id FROM (
+                      SELECT a.vec_id,
+                             row_number() OVER (
+                               ORDER BY list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                                                  for x in generate_series(1, {_EMB_DIM})]) / (a.nrm * qnrm) DESC,
+                                        a.vec_id
+                             ) AS rn
+                      FROM assigned a, q
+                      WHERE a.cid IN (SELECT cid FROM qcells WHERE rnk <= 1)
+                        AND a.vec_id != 0
+                    ) WHERE rn <= 5) iv ON iv.vec_id = b.vec_id) AS n_hit
+      UNION ALL
+      SELECT 2 AS probes,
+             (SELECT count(*) FROM brute b
+              JOIN (SELECT vec_id FROM (
+                      SELECT a.vec_id,
+                             row_number() OVER (
+                               ORDER BY list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(qv[x] AS DOUBLE)
+                                                  for x in generate_series(1, {_EMB_DIM})]) / (a.nrm * qnrm) DESC,
+                                        a.vec_id
+                             ) AS rn
+                      FROM assigned a, q
+                      WHERE a.cid IN (SELECT cid FROM qcells)
+                        AND a.vec_id != 0
+                    ) WHERE rn <= 5) iv ON iv.vec_id = b.vec_id) AS n_hit
+    )
+    """,
+)
+def sim_ivf_recall_mp(spark, sf_dir):
+    """The probe-count tuning curve: recall@5 at probes=1 vs probes=2
+    against the exact brute-force top-5 — multiprobe must recover
+    neighbors straddling the query's cell boundary. Composes the
+    registered single-probe and multiprobe queries with one exact
+    rerank."""
+    from .operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    brute = cosine_topk(e.where(F.col("vec_id") != 0), qv, k=5).select("vec_id")
+    rows = []
+    for probes, qname in ((1, "sim_ivf_topk"), (2, "sim_ivf_multiprobe")):
+        hits = (
+            QUERIES[qname](spark, sf_dir).select("vec_id").join(brute, "vec_id").count()
+        )
+        rows.append((probes, hits, round(hits / 5.0, 2)))
+    return spark.createDataFrame(
+        rows, "probes int, n_hit long, recall_at_5 double"
+    )
+
+
 
 @query(
     "sim_kmeans_step",
