@@ -227,6 +227,28 @@ class _FastBail(Exception):
     pass
 
 
+def _scan_rawtext(builder: "_DomBuilder", html: str, i: int, name: str) -> int:
+    """Consume raw-text (cdata) content after a non-self-closing script/style
+    START tag, exactly as stdlib set_cdata_mode does: content ends ONLY at a
+    full '</\\s*name\\s*>' (case-insensitive); '</scripty>' etc. is data; no
+    charref conversion. Unclosed-at-EOF bails (stdlib drops the tail — the
+    stdlib reparse reproduces that behavior exactly). Returns the new cursor.
+
+    stdlib enters cdata mode on EVERY handle_starttag of script/style —
+    including tags like '<script src=http://x.com/>' where the trailing '/'
+    was swallowed into an unquoted attribute value — so every starttag
+    branch of _fast_feed must route through this scan (r3 ADVICE: the
+    VALTAIL branch previously skipped it, letting script bodies containing
+    markup close ancestor elements early)."""
+    m_close = _RAWTEXT_CLOSE_RE[name].search(html, i)
+    if m_close is None:
+        raise _FastBail("unclosed raw-text element")
+    if m_close.start() > i:
+        builder.handle_data(html[i : m_close.start()])
+    builder.handle_endtag(name)
+    return m_close.end()
+
+
 def _fast_feed(builder: "_DomBuilder", html: str) -> None:
     """Tokenize and replay events into the builder; raise _FastBail on any
     construct whose stdlib semantics we will not replicate bit-for-bit."""
@@ -284,7 +306,11 @@ def _fast_feed(builder: "_DomBuilder", html: str) -> None:
             # strict grammar; bail on anything it can't prove.
             body = attrs[:-1]
             if _ATTRS_VALTAIL_RE.match(body):
+                # plain START tag ('/' swallowed into the unquoted value) —
+                # stdlib still enters cdata mode for script/style here
                 builder.handle_starttag(name, [])
+                if name in _RAWTEXT_TAGS:
+                    i = _scan_rawtext(builder, html, i, name)
             elif _ATTRS_STRICT_RE.match(body):
                 builder.handle_startendtag(name, [])
             else:
@@ -300,17 +326,7 @@ def _fast_feed(builder: "_DomBuilder", html: str) -> None:
                 raise _FastBail("quotes outside the strict attribute grammar")
             builder.handle_starttag(name, [])
             if name in _RAWTEXT_TAGS:
-                # raw-text content: ends ONLY at a full '</\s*name\s*>'
-                # (stdlib cdata mode); '</scripty>' etc. is data. No charref
-                # conversion. Unclosed-at-EOF bails (stdlib drops the tail —
-                # the stdlib reparse reproduces that behavior exactly).
-                m_close = _RAWTEXT_CLOSE_RE[name].search(html, i)
-                if m_close is None:
-                    raise _FastBail("unclosed raw-text element")
-                if m_close.start() > i:
-                    builder.handle_data(html[i : m_close.start()])
-                builder.handle_endtag(name)
-                i = m_close.end()
+                i = _scan_rawtext(builder, html, i, name)
 
 
 def _build_dom(html: str) -> _Node:

@@ -1250,7 +1250,7 @@ def grouping_sets_agg(spark, sf_dir):
     "scalar_arrays",
     """
     SELECT doc_id,
-           list_sort(regexp_extract_all(lower(text), '[a-z]+'))[1:5] AS first5,
+           array_to_string(list_sort(regexp_extract_all(lower(text), '[a-z]+'))[1:5], ',') AS first5,
            CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_distinct,
            CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
                                 w -> length(w) > 6)) AS BIGINT) AS n_long,
@@ -1270,7 +1270,7 @@ def scalar_arrays(spark, sf_dir):
     sorted_words = F.array_sort(words)
     return d.select(
         "doc_id",
-        F.slice(sorted_words, 1, 5).alias("first5"),
+        F.array_join(F.slice(sorted_words, 1, 5), ",").alias("first5"),
         F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
         F.size(F.filter(words, lambda w: F.length(w) > 6)).cast("long").alias(
             "n_long"

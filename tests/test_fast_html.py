@@ -89,7 +89,80 @@ NASTY = [
     "<p><a foo=a\"b\"/>quote-in-unquoted-value</a>x</p>",  # bail
     "<p><a foo=bar/ baz=q>mid junk</a>y</p>",
     "<p><a href=x/>v</a><a href=x />w</a><a href=x/ >z</a></p>",
+    # --- r4 ADVICE regressions: raw-text tag whose trailing '/' is part of
+    # an unquoted attribute value must STILL enter cdata mode (stdlib calls
+    # set_cdata_mode on every script/style handle_starttag). Pre-fix, the
+    # VALTAIL branch skipped the raw-text scan, so markup inside the script
+    # body closed ancestor elements early.
+    '<div><p>keep me here with enough text to score</p>'
+    '<script src=http://x.com/>document.write("</div><div>")</script>'
+    '<p>tail paragraph with plenty of words in it</p></div>',
+    "<div><style media=screen/x/>p{color:red}</style><p>body text here</p></div>",
+    '<script src=http://x.com/>var a="</scripty>";</script><p>after</p>',
+    "<script src=http://x.com/>no close tag at all",      # bail: unclosed raw
+    "<script src=http://x.com//>self-close-ish value</script><p>t</p>",
+    "<style type=text/css/>q{}</style><p>after</p>",
 ]
+
+
+# Composition grammar for the differential fuzzer: random concatenations of
+# realistic constructs, now including the r4 raw-text VALTAIL variants.
+_GRAMMAR_PIECES = [
+    "<p>plain text</p>",
+    "<div>",
+    "</div>",
+    "<script>x<y; document.write('</div>');</script>",
+    "<script src=http://x.com/>w('</div>')</script>",
+    "<style media=all/>p{}</style>",
+    "<style>p>a{}</style>",
+    "<a href=http://x.com/>link</a>",
+    "<a href=x/>v</a>",
+    "<input disabled/>",
+    "<br //>",
+    "<!-- c -->",
+    "<![CDATA[z]]>",
+    "<?pi?>",
+    "&amp; &#65; &bad;",
+    "text < soup",
+    "</script>",
+    "<script src=http://x.com/>",
+    "é中",
+]
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(st.lists(st.sampled_from(_GRAMMAR_PIECES), min_size=0, max_size=8))
+def test_equal_on_grammar_compositions(pieces):
+    html = "".join(pieces)
+    fast, std = _both(html)
+    assert fast == std, repr(html)
+
+
+def test_valtail_rawtext_dom_structure_matches_stdlib():
+    """DOM-level (not just span-level) equality for the r4 fix: the VALTAIL
+    start tag of a raw-text element must consume its body as cdata, so the
+    '</div>' inside the script body must NOT close the outer div."""
+    html = (
+        '<div><p>keep</p><script src=http://x.com/>w("</div>")</script>'
+        "<p>tail</p></div>"
+    )
+    b = K._DomBuilder()
+    K._fast_feed(b, html)  # fast path must handle it (no bail)
+
+    def shape(n):
+        return [
+            (c.tag, shape(c)) if isinstance(c, K._Node) else ("#t", c)
+            for c in n.content
+        ]
+
+    sb = K._DomBuilder()
+    sb.feed(html)
+    sb.close()
+    assert shape(b.root) == shape(sb.root)
+    # both <p> children must still be INSIDE the div
+    div = next(c for c in b.root.content if isinstance(c, K._Node))
+    tags = [c.tag for c in div.content if isinstance(c, K._Node)]
+    assert tags == ["p", "script", "p"]
 
 
 def test_equal_on_nasty_fragments():
