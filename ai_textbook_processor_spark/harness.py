@@ -43,6 +43,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Per-invocation scratch directory for queries that plant source files.
+
+    A fresh mkdtemp per call (not a fixed /tmp path) so two concurrent
+    harness runs can't clobber each other's planted fixtures (r3 ADVICE).
+    Registered for interpreter-exit cleanup; the handful of KBs written per
+    harness run are bounded either way."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix + "_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -2181,7 +2197,7 @@ def src_json_roundtrip(spark, sf_dir):
     parquet-side oracle proves lossless ingest (incl. unicode docs). At
     scale this is the crawl-dump ingestion path (WARC-derived JSONL)."""
     d = _t(spark, sf_dir, "documents")
-    path = "/tmp/atps_src_json"
+    path = _scratch_dir("atps_src_json")
     d.write.mode("overwrite").json(path)
     j = spark.read.schema(d.schema).json(path)
     return j.groupBy("lang").agg(
@@ -2196,7 +2212,7 @@ def src_csv_roundtrip(spark, sf_dir):
     """CSV source format: quoted/escaped/multiline-safe round-trip of the
     flat document columns, same fidelity check as the JSON path."""
     d = _t(spark, sf_dir, "documents")
-    path = "/tmp/atps_src_csv"
+    path = _scratch_dir("atps_src_csv")
     (
         d.write.mode("overwrite")
         .option("header", True)
@@ -2244,7 +2260,7 @@ def src_json_malformed(spark, sf_dir):
     crawl-ingest path lives or dies on this: one torn JSONL line per
     shard must not kill a 1000-executor job or silently vanish."""
     d = _t(spark, sf_dir, "documents")
-    path = "/tmp/atps_src_json_malformed"
+    path = _scratch_dir("atps_src_json_malformed")
     good = F.to_json(F.struct(*[F.col(c) for c in d.columns]))
     corrupt = F.concat(
         F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "text": ')
@@ -2259,7 +2275,11 @@ def src_json_malformed(spark, sf_dir):
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
-        .cache()  # Spark disallows corrupt-record-only queries on raw files
+        # localCheckpoint (NOT cache): detaches from the file-source lineage,
+        # which both lifts Spark's corrupt-record-only-query restriction and
+        # avoids pinning a cache-manager entry per harness invocation
+        # (blocks are GC-freed with the frame; r3 ADVICE)
+        .localCheckpoint(eager=True)
     )
     clean = j.where(F.col("_corrupt_record").isNull()).groupBy("lang").agg(
         F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars")
@@ -2291,7 +2311,7 @@ def src_csv_malformed(spark, sf_dir):
     channels are aggregated and oracle-matched (quarantine chars =
     byte-length of the planted lines, proving verbatim retention)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
-    path = "/tmp/atps_src_csv_malformed"
+    path = _scratch_dir("atps_src_csv_malformed")
     line = F.concat_ws(
         ",",
         F.col("doc_id").cast("string"),
@@ -2309,7 +2329,7 @@ def src_csv_malformed(spark, sf_dir):
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
-        .cache()
+        .localCheckpoint(eager=True)
     )
     clean = c.where(F.col("_corrupt_record").isNull()).groupBy("lang").agg(
         F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars")
@@ -2469,7 +2489,7 @@ def src_schema_evolution(spark, sf_dir):
     under '_missing'), nothing is dropped or errors. The crawl-ingest
     reality: upstream producers add fields mid-corpus."""
     d = _t(spark, sf_dir, "documents")
-    path = "/tmp/atps_src_schema_evo"
+    path = _scratch_dir("atps_src_schema_evo")
     d.where(F.col("doc_id") < 250).select("doc_id", "text").write.mode(
         "overwrite"
     ).parquet(f"{path}/b1")

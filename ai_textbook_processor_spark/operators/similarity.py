@@ -125,17 +125,31 @@ def kmeans_fit(
     ``collect()`` is K*dim scalars (the centroids themselves — the natural
     driver-side artifact of k-means, bounded by the model size, never by
     the data), re-broadcast as plan literals for the next assignment pass.
-    Returns the final centroid DataFrame (cid, cemb)."""
+    Returns the final centroid DataFrame (cid, cemb).
+
+    Empty cells: a centroid that receives zero assignments is absent from
+    the step's grouped output; it is CARRIED FORWARD unchanged (standard
+    Lloyd dying-cluster handling) rather than silently dropped, so K is
+    stable across rounds and a cell can win vectors again later (r3
+    ADVICE)."""
     spark = df.sparkSession
     cents = centroids
+    prev = {
+        int(r["cid"]): [float(v) for v in r["cemb"]] for r in centroids.collect()
+    }
     for _ in range(iters):
         rows = kmeans_step(df, cents, id_col, vec_col).collect()
         by_cid: dict = {}
         for r in rows:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c_mean"]
-        lit = [
-            (cid, [float(means[p]) for p in sorted(means)])
-            for cid, means in sorted(by_cid.items())
-        ]
+            by_cid.setdefault(int(r["cid"]), {})[r["pos"]] = r["c_mean"]
+        nxt = {
+            cid: [float(means[p]) for p in sorted(means)]
+            for cid, means in by_cid.items()
+        }
+        # carry forward the previous centroid for any cell with no assignments
+        for cid, cemb in prev.items():
+            nxt.setdefault(cid, cemb)
+        prev = nxt
+        lit = sorted(nxt.items())
         cents = spark.createDataFrame(lit, "cid long, cemb array<double>")
     return cents

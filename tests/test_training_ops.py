@@ -123,6 +123,26 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
         assert cos(fitted[cid], anchor) > 0.995, cid
 
 
+def test_kmeans_fit_carries_forward_empty_cells(spark):
+    """Dying-cluster handling (r3 ADVICE): a centroid that wins zero
+    assignments must be carried forward unchanged, not silently dropped —
+    K is stable across rounds."""
+    from ai_textbook_processor_spark.operators.similarity import kmeans_fit
+
+    # all vectors hug the +x axis; centroid 1 points the opposite way and
+    # (under max-cosine assignment) never wins a single vector
+    rows = [(i, [5.0 + 0.01 * i, 0.1 * (i % 3), 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [-7.0, -7.0, -7.0])],
+        "cid long, cemb array<double>",
+    )
+    fitted = {r["cid"]: r["cemb"] for r in kmeans_fit(df, seeds, iters=3).collect()}
+    assert sorted(fitted) == [0, 1], "K must not shrink mid-fit"
+    assert fitted[1] == [-7.0, -7.0, -7.0], "empty cell carried forward verbatim"
+    assert abs(fitted[0][0] - 5.0955) < 0.2  # live cell converged to the mean
+
+
 def test_pii_scrub_leaves_no_residual_pii(spark):
     """Completeness property: after pii_scrub, NO substring matching the
     email or phone pattern survives — on adversarial fixtures (adjacent

@@ -69,6 +69,69 @@ def test_extraction_runs_once_for_funnel(spark):
     assert acc.value == n, f"extraction input scanned {acc.value} rows for {n} docs"
 
 
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def _drain_storage(spark, baseline: int, timeout: float = 90.0) -> int:
+    """GC driver-side refs and wait for the ContextCleaner to unpersist
+    checkpoint blocks (async); returns the settled persistent-RDD count."""
+    import gc
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if _n_persistent_rdds(spark) <= baseline:
+            break
+        time.sleep(0.5)
+    return _n_persistent_rdds(spark)
+
+
+def test_clean_corpus_no_storage_growth(spark):
+    """r3 VERDICT #7: repeated clean_corpus calls must not accumulate
+    pinned storage — the extracted projection and dedup signatures are
+    localCheckpoint blocks freed by GC, never session-lifetime cache
+    entries. Assert (a) the DataFrame cache manager stays empty and
+    (b) the persistent-RDD count settles back to baseline once the
+    results are consumed and dereferenced, across 3 invocations — with
+    identical funnels."""
+    baseline = _drain_storage(spark, 0)
+    cfg = CriteriaConfig(grade_lo=-100.0, grade_hi=100.0)
+    docs = corpus_df(spark, 24, seed=11)
+    funnels = []
+    for _ in range(3):
+        cleaned, funnel = clean_corpus(docs, cfg, min_quality=0.2)
+        funnels.append(sorted((r["stage"], r["n"]) for r in funnel.collect()))
+        cleaned.count()
+        del cleaned, funnel
+    assert funnels[0] == funnels[1] == funnels[2]
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "clean_corpus must not leave DataFrame-level cache entries"
+    )
+    settled = _drain_storage(spark, baseline)
+    assert settled <= baseline, (
+        f"persistent RDD blocks grew {baseline} -> {settled} across calls"
+    )
+
+
+def test_malformed_src_queries_leave_no_cache_entries(spark, tmp_path):
+    """r3 ADVICE: src_json_malformed / src_csv_malformed previously
+    .cache()d the PERMISSIVE read and never unpersisted; they now
+    localCheckpoint (GC-freed) and use per-invocation scratch dirs."""
+    from ai_textbook_processor_spark import harness
+
+    baseline = _drain_storage(spark, 0)
+    for name in ("src_json_malformed", "src_csv_malformed"):
+        df = harness.QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert df.count() > 0
+        del df
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    settled = _drain_storage(spark, baseline)
+    assert settled <= baseline
+
+
 def test_lang_filter(spark):
     docs = corpus_df(spark, 24, seed=42)
     cfg = CriteriaConfig(grade_lo=-100.0, grade_hi=100.0)
