@@ -752,8 +752,15 @@ def dd_minhash_lsh16(spark, sf_dir):
     from .operators.dedup import MH_COEFS_16, minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    # standalone one-shot query: the signature frame is consumed within this
+    # single plan and the driver bench pays the checkpoint's cold block-write
+    # cost without ever amortizing it (r3 VERDICT #5; measured +1.4 s on the
+    # first invocation, parity warm) — skip materialization here; the
+    # pipeline path (training_pipeline.py) keeps the heuristic where the
+    # sigs are re-referenced across stages
     return minhash_lsh_pairs(
-        d, "doc_id", "text", min_matches=8, coefs=tuple(MH_COEFS_16), band_rows=4
+        d, "doc_id", "text", min_matches=8, coefs=tuple(MH_COEFS_16),
+        band_rows=4, materialize_sigs=False,
     )
 
 
@@ -2390,6 +2397,106 @@ def ev_stream_windowed(spark, sf_dir):
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("h"),
         "event_type",
         "n",
+    )
+
+
+@query(
+    "ev_stream_late",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    allr AS (
+      SELECT ts, event_type FROM events
+      UNION ALL
+      SELECT (SELECT m FROM mx) AS ts, event_type
+      FROM events WHERE event_id % 10 = 1
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+           event_type, count(*) AS n
+    FROM allr GROUP BY 1, 2
+    """,
+)
+def ev_stream_late(spark, sf_dir):
+    """Watermark LATE-DATA DROP semantics, oracle-checked (r3 VERDICT #6).
+
+    Three-trigger replay (maxFilesPerTrigger=1, mtime-ordered files):
+      1. every on-time event — after this trigger the watermark is
+         max(ts) - 10 min;
+      2. planted late arrivals: for event_id % 10 == 0 a copy shifted to
+         min(ts) - 2 days (far below the watermark -> DROPPED by the
+         stateful aggregation), and for event_id % 10 == 1 a copy at
+         exactly max(ts) (>= watermark -> accepted late);
+      3. a sentinel 2 days ahead that pushes the watermark past every real
+         window so APPEND mode — the mode in which Spark actually drops
+         late rows; complete mode keeps all state — emits them all.
+
+    The DuckDB oracle counts the on-time rows plus ONLY the acceptable
+    late copies: a value-hash match proves the engine dropped exactly the
+    planted too-late rows and nothing else. At scale this is the contract
+    that bounds streaming state: watermark delay = how much disorder the
+    ingest path tolerates before data loss is deliberate."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    pdf = ev.toPandas()
+    mn, mx = pdf["ts"].min(), pdf["ts"].max()
+    import pandas as pd
+
+    ontime = pdf[["ts", "event_type"]]
+    dropped = pdf[pdf["event_id"] % 10 == 0][["event_type"]].assign(
+        ts=mn - pd.Timedelta(days=2)
+    )[["ts", "event_type"]]
+    oklate = pdf[pdf["event_id"] % 10 == 1][["event_type"]].assign(ts=mx)[
+        ["ts", "event_type"]
+    ]
+    sentinel = pd.DataFrame(
+        {"ts": [mx + pd.Timedelta(days=2)], "event_type": ["__sentinel__"]}
+    )
+    src = tempfile.mkdtemp(prefix="atps_stream_late_")
+    schema = pa.schema([("ts", pa.timestamp("us")), ("event_type", pa.string())])
+
+    def _arrive(i: int, part) -> None:
+        # write-then-rename so the source never lists a half-written file
+        tmp, final = f"{src}/.f{i}.tmp", f"{src}/f{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, schema=schema), tmp)
+        os.rename(tmp, final)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("atps_ev_stream_late")
+        .start()
+    )
+    try:
+        # strict trigger ordering by ARRIVAL: each batch is fully processed
+        # (watermark advanced) before the next file exists — the actual
+        # late-arrival topology, independent of file-source listing order
+        for i, part in enumerate(
+            (ontime, pd.concat([dropped, oklate]), sentinel), start=1
+        ):
+            _arrive(i, part)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table("atps_ev_stream_late")
+        .where(F.col("event_type") != "__sentinel__")
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("h"),
+            "event_type",
+            "n",
+        )
     )
 
 

@@ -87,3 +87,35 @@ def test_watermarked_windowed_agg_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_late_rows_below_watermark_are_dropped(spark):
+    """r3 VERDICT #6: the ev_stream_late replay plants copies of events
+    shifted 2 days BEFORE the corpus start that arrive after the watermark
+    has advanced past them — the append-mode aggregate must drop exactly
+    those rows (no window at the shifted hour) while keeping the
+    acceptable-late copies planted at max(ts)."""
+    from pyspark.sql import functions as F
+
+    from ai_textbook_processor_spark.harness import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["ev_stream_late"](spark, sf).collect()
+    assert len(out) > 0
+    hours = {r["h"] for r in out}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    dropped_hour = (mn - __import__("datetime").timedelta(days=2)).strftime(
+        "%Y-%m-%d %H:00:00"
+    )
+    assert dropped_hour not in hours, "too-late planted rows must be dropped"
+    # the acceptable-late copies land in max(ts)'s window and ARE counted:
+    # that window's totals exceed the batch-only counts
+    mx_hour = mx.strftime("%Y-%m-%d %H:00:00")
+    n_stream = sum(r["n"] for r in out if r["h"] == mx_hour)
+    n_batch = ev.where(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        == mx_hour
+    ).count()
+    n_oklate = ev.where(F.col("event_id") % 10 == 1).count()
+    assert n_stream == n_batch + n_oklate
