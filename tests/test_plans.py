@@ -121,3 +121,48 @@ def test_stratified_sample_is_scan_side_filter(spark):
     assert p.count("Exchange") <= 1, p
     assert "Filter" in p and "FileScan parquet" in p
     assert "Window" not in p and "SortMergeJoin" not in p
+
+
+def test_hof_lambda_lint_catches_broken_fixture(spark):
+    """r3 VERDICT #9: the quadratic-blowup bug class (outer expression
+    inside a transform/filter/zip_with lambda, re-evaluated once per
+    element) must be caught MECHANICALLY by the plan lint — proven on a
+    deliberately-broken fixture reproducing the r3 shingle bug shape."""
+    import pyspark.sql.functions as F
+
+    from ai_textbook_processor_spark.plans.lint import (
+        assert_no_lambda_offenses,
+        find_lambda_offenses,
+    )
+
+    d = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    # the r3 bug shape: tokenizer re-run per sequence element
+    broken = d.select(
+        F.expr(
+            "transform(sequence(1, 3), i ->"
+            " slice(regexp_extract_all(lower(text), '[a-z]+', 0), i, 2))"
+        ).alias("sh")
+    )
+    off = find_lambda_offenses(broken)
+    assert off and "text" in "".join(off), off
+    try:
+        assert_no_lambda_offenses(broken, "fixture")
+    except AssertionError as e:
+        assert "per array element" in str(e)
+    else:
+        raise AssertionError("lint did not raise on the broken fixture")
+
+
+def test_hof_lambda_rule_holds_on_lambda_heavy_queries(spark):
+    """Every HOF-lambda-bearing query plan stays clean: lambdas reference
+    only lambda variables (full 74-query sweep runs in tools/gen_plans.py;
+    this pins the lambda-heavy subset in the fast gate)."""
+    from ai_textbook_processor_spark.plans.lint import assert_no_lambda_offenses
+
+    for name in (
+        "scalar_arrays", "txt_repetition", "txt_unigram_entropy",
+        "txt_fingerprint", "dd_minhash_lsh", "dd_ngram_jaccard",
+        "dd_simhash", "sim_cosine_topk", "pk_sequence_packing",
+        "x1_extract_pipeline",
+    ):
+        assert_no_lambda_offenses(harness.QUERIES[name](spark, SF), name)
