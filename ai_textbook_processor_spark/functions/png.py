@@ -1,0 +1,272 @@
+"""Pure-Python PNG codec (stdlib ``zlib`` + ``struct`` only).
+
+Closes the r3 VERDICT I2 seam for a REAL interchange format: the reference
+decodes image pixels with PIL (``/root/reference/utils/utility.py:35-64``:
+aspect-fit <=800x800, RGB convert, alpha-flatten on white) — this module
+provides the same pixel semantics for PNG without any codec library, per
+the PNG spec (RFC 2083): IHDR/PLTE/tRNS/IDAT chunk walk, zlib inflate,
+per-scanline unfilter (types 0-4 incl. Paeth), and the color-type
+normalizations. JPEG remains behind the NotImplementedError seam until the
+environment gains a codec.
+
+Scope (quarantined via ``PngUnsupported`` -> the multimodal error channel,
+never a crash): bit depth 8 only, interlace 0 (non-Adam7) only, color
+types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA).
+
+Resampling: the reference uses LANCZOS, a PIL kernel; here downscale is a
+separable AREA-AVERAGE (box) filter computed as two weight-matrix
+products — deterministic, dependency-free, and the standard choice for
+downscale-before-encoder in training pipelines. Documented divergence:
+pixel values differ from PIL LANCZOS; geometry (fit_within) is identical.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngUnsupported(NotImplementedError):
+    """PNG feature outside the supported profile (or not a PNG at all)."""
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse per-scanline filtering (PNG spec 6.2-6.6). ``bpp`` = bytes
+    per complete pixel. Returns width*height*bpp unfiltered bytes."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        if pos >= len(raw):
+            raise PngUnsupported("truncated IDAT stream")
+        ftype = raw[pos]
+        pos += 1
+        line = raw[pos : pos + stride]
+        if len(line) < stride:
+            raise PngUnsupported("truncated scanline")
+        pos += stride
+        o = y * stride
+        prev_o = o - stride
+        if ftype == 0:  # None
+            out[o : o + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                out[o + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            if y == 0:
+                out[o : o + stride] = line
+            else:
+                for i in range(stride):
+                    out[o + i] = (line[i] + out[prev_o + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                up = out[prev_o + i] if y > 0 else 0
+                out[o + i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                up = out[prev_o + i] if y > 0 else 0
+                ul = out[prev_o + i - bpp] if (y > 0 and i >= bpp) else 0
+                out[o + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise PngUnsupported(f"unknown filter type {ftype}")
+    return out
+
+
+def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG byte string -> (width, height, channels, pixels).
+
+    ``pixels`` is row-major interleaved bytes with ``channels`` in
+    {1: gray, 2: gray+alpha, 3: RGB, 4: RGBA}; palette images come back
+    expanded to RGB (or RGBA when a tRNS chunk is present)."""
+    if content is None or len(content) < 8 or content[:8] != PNG_MAGIC:
+        raise PngUnsupported("not a PNG byte stream")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = None
+    palette: bytes | None = None
+    trns: bytes | None = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise PngUnsupported("truncated chunk")
+        pos += 12 + length  # skip CRC (not verified: decode-only profile)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8:
+                raise PngUnsupported(f"bit depth {bit_depth} (only 8)")
+            if interlace != 0:
+                raise PngUnsupported("Adam7 interlacing")
+            if comp != 0 or filt != 0:
+                raise PngUnsupported("nonzero compression/filter method")
+            if color_type not in _CHANNELS:
+                raise PngUnsupported(f"color type {color_type}")
+        elif ctype == b"PLTE":
+            palette = bytes(data)
+        elif ctype == b"tRNS":
+            trns = bytes(data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise PngUnsupported("missing IHDR")
+    if not idat:
+        raise PngUnsupported("missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise PngUnsupported(f"zlib inflate failed: {e}") from None
+    ch = _CHANNELS[color_type]
+    pixels = bytes(_unfilter(raw, width, height, ch))
+    if color_type == 3:
+        if palette is None:
+            raise PngUnsupported("palette image without PLTE")
+        n = len(palette) // 3
+        if trns is not None:
+            lut = bytearray()
+            for i in range(n):
+                lut += palette[3 * i : 3 * i + 3]
+                lut.append(trns[i] if i < len(trns) else 255)
+            step = 4
+        else:
+            lut, step = bytearray(palette), 3
+        out = bytearray(width * height * step)
+        for i, idx in enumerate(pixels):
+            if idx >= n:
+                raise PngUnsupported("palette index out of range")
+            out[i * step : (i + 1) * step] = lut[idx * step : (idx + 1) * step]
+        return width, height, step, bytes(out)
+    return width, height, ch, pixels
+
+
+def encode_png(
+    pixels: bytes, width: int, height: int, channels: int = 3
+) -> bytes:
+    """Minimal deterministic PNG encoder (filter 0 scanlines, fixed zlib
+    level) for building real-PNG fixtures without any codec library."""
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer size mismatch")
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def flatten_to_rgb(pixels: bytes, channels: int) -> bytes:
+    """Normalize any decoded channel layout to 3-channel RGB, flattening
+    alpha on a WHITE background — the reference's exact composite
+    (utils/utility.py:50-58: paste-on-white): out = round((fg*a +
+    255*(255-a)) / 255), integer round-half-up."""
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    if channels == 3:
+        return bytes(pixels)
+    if channels == 1:
+        return bytes(np.repeat(arr, 3).tobytes())
+    px = arr.reshape(-1, channels).astype(np.uint32)
+    if channels == 2:  # gray + alpha
+        g, a = px[:, 0], px[:, 1]
+        flat = (g * a + 255 * (255 - a) + 127) // 255
+        return bytes(np.repeat(flat.astype(np.uint8), 3).tobytes())
+    # RGBA
+    rgb, a = px[:, :3], px[:, 3:4]
+    flat = (rgb * a + 255 * (255 - a) + 127) // 255
+    return bytes(flat.astype(np.uint8).tobytes())
+
+
+def resize_box(
+    pixels_rgb: bytes, width: int, height: int, out_w: int, out_h: int
+) -> bytes:
+    """Separable area-average (box) resample of an RGB buffer, computed as
+    two weight-matrix products in float64 and rounded half-up to uint8.
+    Exact passthrough when the size is unchanged. Deterministic across
+    platforms (pure IEEE double sums of exact dyadic weights... weights are
+    rationals; float64 rounding is fixed by the evaluation order below)."""
+    if (out_w, out_h) == (width, height):
+        return bytes(pixels_rgb)
+    img = (
+        np.frombuffer(pixels_rgb, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+
+    def weights(n_in: int, n_out: int) -> np.ndarray:
+        w = np.zeros((n_out, n_in), dtype=np.float64)
+        scale = n_in / n_out
+        for o in range(n_out):
+            lo, hi = o * scale, (o + 1) * scale
+            i0, i1 = int(np.floor(lo)), int(np.ceil(hi))
+            for i in range(i0, min(i1, n_in)):
+                overlap = min(hi, i + 1) - max(lo, i)
+                if overlap > 0:
+                    w[o, i] = overlap
+            w[o] /= w[o].sum()
+        return w
+
+    wh = weights(height, out_h)  # (out_h, h)
+    ww = weights(width, out_w).T  # (w, out_w)
+    out = np.einsum("oh,hwc,wn->onc", wh, img, ww, optimize=True)
+    return bytes(np.floor(out + 0.5).clip(0, 255).astype(np.uint8).tobytes())
+
+
+def luminance_grid_features(
+    pixels_rgb: bytes, width: int, height: int, grid: int = 4
+) -> list[float]:
+    """grid x grid mean-luminance cells (ITU-R BT.601 weights), each in
+    [0, 1] — the real-pixel analog of the ATPS frame-sampled feature,
+    same 16-dim shape."""
+    img = (
+        np.frombuffer(pixels_rgb, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    lum = img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+    feats = []
+    for gy in range(grid):
+        y0, y1 = gy * height // grid, max((gy + 1) * height // grid, gy * height // grid + 1)
+        for gx in range(grid):
+            x0, x1 = gx * width // grid, max((gx + 1) * width // grid, gx * width // grid + 1)
+            cell = lum[y0:y1, x0:x1]
+            feats.append(float(cell.mean() / 255.0) if cell.size else 0.0)
+    return feats

@@ -63,11 +63,14 @@ def pack_asset(asset_id: str, width: int, height: int, channels: int = 3) -> byt
 
 def parse_header(content: bytes) -> tuple[int, int, int]:
     """REAL decode of the synthetic header; raises on foreign formats the
-    way the production path would hand off to a codec library."""
+    way the production path would hand off to a codec library. PNG is NOT
+    foreign anymore — it routes to the stdlib-zlib decoder (functions/
+    png.py) via :func:`image_features_payload`; JPEG remains behind the
+    seam."""
     if content is None or len(content) < 9 or content[:4] != _MAGIC:
         raise NotImplementedError(
-            "pixel codecs (JPEG/PNG) not available in this environment; "
-            "only the in-repo synthetic ATPS format is decodable"
+            "pixel codec not available for this payload; decodable formats "
+            "are PNG (functions/png.py) and the in-repo synthetic ATPS"
         )
     w, h, c = struct.unpack(">HHB", content[4:9])
     return w, h, c
@@ -102,12 +105,69 @@ _FRAME_SAMPLES = 8
 _FEATURE_DIM = 16
 
 
+def png_features_payload(content: bytes) -> dict:
+    """REAL pixel path (r3 VERDICT #3): stdlib-zlib PNG decode ->
+    alpha-flatten on white (the reference's composite,
+    utils/utility.py:50-58) -> aspect-fit geometry (exact max-side
+    formula, :37-47) -> area-average downscale -> 4x4 luminance-grid
+    features on the ACTUAL pixels. Same FEATURE_SCHEMA row shape as the
+    ATPS path; unsupported PNG profiles (16-bit, Adam7, ...) raise
+    PngUnsupported (a NotImplementedError) into the quarantine channel."""
+    from ..functions.png import (
+        decode_png,
+        flatten_to_rgb,
+        luminance_grid_features,
+        resize_box,
+    )
+
+    w, h, ch, px = decode_png(content)
+    rgb = flatten_to_rgb(px, ch)
+    ow, oh = fit_within(w, h)
+    resized = resize_box(rgb, w, h, ow, oh)
+    return {
+        "width": w, "height": h,
+        "out_width": ow, "out_height": oh,
+        "sample_b64": base64.b64encode(content[:24]).decode(),
+        "feature": luminance_grid_features(resized, ow, oh),
+    }
+
+
+def pack_png_asset(asset_id: str, n_chars: int) -> bytes:
+    """Deterministic REAL PNG fixture: gradient pixels seeded by the asset
+    id, rotating through RGB / RGBA (exercises the white-composite) / gray
+    layouts, with every 7th asset oversized so the aspect-fit downscale
+    path runs on real data. Pure function — shared by the harness query
+    and the literal oracle."""
+    import numpy as np
+
+    from ..functions.png import encode_png
+
+    seed = int.from_bytes(hashlib.md5(asset_id.encode()).digest()[:4], "big")
+    channels = (3, 4, 1)[seed % 3]
+    if seed % 7 == 0:
+        w, h = 900 + seed % 200, 640 + seed % 160
+    else:
+        w, h = 24 + n_chars % 40, 18 + (n_chars * 3) % 30
+    ys = np.arange(h, dtype=np.uint32)[:, None]
+    xs = np.arange(w, dtype=np.uint32)[None, :]
+    base = (ys * 13 + xs * 7 + seed) % 251
+    planes = [(base + c * 37) % 256 for c in range(channels)]
+    px = np.stack(planes, axis=-1).astype(np.uint8).tobytes()
+    return encode_png(px, w, h, channels)
+
+
 def image_features_payload(content: bytes) -> dict:
     """Pure per-asset kernel: header decode -> resize math -> frame-sampled
     byte features -> base64 sample. Shared by the Spark batch kernel and
     the pure-Python golden producer (s6_image_features literal oracle),
     the same single-source discipline as transcribe_payload / the text
-    kernels. Raises NotImplementedError for foreign codecs."""
+    kernels. PNG payloads route to the real pixel decoder
+    (:func:`png_features_payload`); other foreign codecs (JPEG) raise
+    NotImplementedError into the quarantine channel."""
+    from ..functions.png import PNG_MAGIC
+
+    if content is not None and content[:8] == PNG_MAGIC:
+        return png_features_payload(content)
     w, h, c = parse_header(content)
     ow, oh = fit_within(w, h)
     payload = content[9:]
