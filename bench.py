@@ -67,42 +67,45 @@ def main() -> int:
         )
     _noop(harness.QUERIES["q1_pricing_summary"](spark, sf_dir))
 
-    times: dict[str, float] = {}
-
-    # Flagship extraction throughput FIRST (BASELINE.json metric:
-    # documents/sec) — measured right after warm-up, before the query
-    # battery litters the JVM with shuffle state and GC debris.
+    # INTERLEAVED best-of-N (r3 VERDICT #4): this host drifts 25-40%
+    # intra-day, so two back-to-back reps of one query can both land in a
+    # slow phase and bill the hypervisor to the engine. Running the WHOLE
+    # battery in ROUNDS full passes and taking each query's minimum across
+    # rounds decorrelates host phase from query identity — a slow phase
+    # now hits one round of everything, not every rep of something.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     n_docs = max(int(DOCS_PER_SF * sf), 1000)
     docs = corpus_df(spark, n_docs, seed=42, mega_every=4000,
                      num_partitions=cpus * 2)
-    extract_sec = None
-    for _ in range(2):  # best-of-2: the host has intermittent CPU steal
-        t0 = time.monotonic()
-        _noop(extract_documents(docs, CriteriaConfig()))
-        dt = round(time.monotonic() - t0, 3)
-        extract_sec = dt if extract_sec is None else min(extract_sec, dt)
-    times["extract_pipeline"] = extract_sec
+    battery: list[tuple[str, object]] = [
+        ("extract_pipeline", lambda: extract_documents(docs, CriteriaConfig()))
+    ] + [
+        (name, (lambda n=name: harness.QUERIES[n](spark, sf_dir)))
+        for name in HEADLINE
+    ]
 
-    # settle the JVM before the query battery (the big extraction leaves
-    # GC debris that would otherwise bill its collection to whichever
-    # query runs next)
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(2)
-
-    for name in HEADLINE:
-        best = None
-        for _ in range(2):  # best-of-2 vs host noise
+    runs: dict[str, list[float]] = {name: [] for name, _ in battery}
+    for _ in range(rounds):
+        for name, build in battery:
+            if name == "extract_pipeline":
+                # settle GC debris before/after the big extraction so its
+                # collection isn't billed to a neighbouring query
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(1)
             t0 = time.monotonic()
-            _noop(harness.QUERIES[name](spark, sf_dir))
-            dt = round(time.monotonic() - t0, 3)
-            best = dt if best is None else min(best, dt)
-        times[name] = best
+            _noop(build())
+            runs[name].append(round(time.monotonic() - t0, 3))
+
+    times = {name: min(rs) for name, rs in runs.items()}
+    extract_sec = times["extract_pipeline"]
 
     out = {
         "metric": "headline queries + interleaved-corpus extraction, total wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "reps": rounds,
+        "all_runs": runs,
         "sf": sf,
         "extract_docs": n_docs,
         "extract_docs_per_sec": round(n_docs / extract_sec, 1),
