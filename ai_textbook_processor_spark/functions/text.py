@@ -106,6 +106,54 @@ def unigram_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def corpus_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document mean negative log2-probability under the CORPUS's own
+    unigram language model — the classic perplexity-proxy quality signal
+    (docs full of rare/garbage tokens score high, formulaic boilerplate
+    scores low; both tails get filtered).
+
+    score(d) = -(1/|d|) * sum_{w in d} log2(c_w / C)
+             = log2(C) - (1/|d|) * sum_{w in d} log2(c_w)
+
+    with c_w the corpus-wide count of word w and C the corpus token total
+    — so no per-token division and only integer-count log2s ride the agg.
+
+    Plan shape: (1) corpus vocab = one map-side-combined groupBy(word);
+    (2) per-doc distinct-word counts = groupBy(id, word); (3) the two
+    count tables join ON WORD — doc text itself never rides that join,
+    only (id, word, count) triples; (4) one final groupBy(id). At 100 TB
+    the [a-z]+ unigram vocabulary is millions of rows, not corpus-sized —
+    the natural persisted artifact between passes; cap-to-top-V +
+    OOV-floor turns step 3 into a broadcast join when executor memory
+    prefers it (semantics then change with the cap, so the uncapped form
+    stays the oracle-checked one)."""
+    words = df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    doc_counts = words.groupBy(id_col, "w").agg(F.count("*").alias("dc"))
+    vocab = doc_counts.groupBy("w").agg(F.sum("dc").alias("c"))
+    total = vocab.agg(F.sum("c").alias("corpus_total"))
+    scored = (
+        doc_counts.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("dc").alias("n"),
+            F.sum(F.col("dc") * F.log2("c")).alias("s"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return scored.select(
+        id_col,
+        F.col("n").cast("long").alias("n_words"),
+        F.round(F.log2("corpus_total") - F.col("s") / F.col("n"), 5).alias(
+            "neg_logprob"
+        ),
+    )
+
+
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
 

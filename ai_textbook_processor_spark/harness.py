@@ -2681,6 +2681,44 @@ def dc_benchmark_overlap(spark, sf_dir):
 
 
 @query(
+    "samp_domain_cap",
+    """
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rk
+    FROM (
+      SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= 3
+    """,
+)
+def samp_domain_cap(spark, sf_dir):
+    """Per-domain document cap (operators.topk.grouped_topk): the 3
+    longest docs per source, largest-first with doc_id tiebreak. The
+    crawl-pipeline shape behind "keep at most k pages per domain": the
+    oracle is the window formulation, the engine is the two-stage bounded
+    top-k — a map-side partial keeps each task's best k per group, so the
+    exchange carries tasks*k rows per group instead of the whole group
+    and NO WindowExec sorts a mega-domain (plan-guarded in
+    test_topk.py)."""
+    from .operators.topk import grouped_topk
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars")
+        .withColumn("neg_chars", -F.col("n_chars"))
+    )
+    t = grouped_topk(d, "source", ["neg_chars", "doc_id"], 3)
+    return t.select(
+        "source",
+        "doc_id",
+        (-F.col("neg_chars")).cast("long").alias("n_chars"),
+        "rk",
+    )
+
+
+@query(
     "samp_stratified",
     """
     SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -2735,6 +2773,179 @@ def txt_unigram_entropy(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
     return unigram_entropy(d, "doc_id", "text")
+
+
+@query(
+    "txt_bm25",
+    """
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents WHERE doc_id < 200
+    ), lens AS (
+      SELECT doc_id, len(ws) AS dl FROM docs
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+    ), words AS (
+      SELECT doc_id, unnest(ws) AS w FROM docs
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS f FROM words
+      WHERE w IN ('scan', 'join', 'vector', 'window') GROUP BY 1, 2
+    ), df AS (
+      SELECT w, count(DISTINCT doc_id) AS dfc FROM tf GROUP BY w
+    )
+    SELECT doc_id, score FROM (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(((SELECT n_docs FROM stats) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+               * f * 2.2
+               / (f + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stats)))
+             ), 4) AS score,
+             row_number() OVER (ORDER BY sum(
+               ln(((SELECT n_docs FROM stats) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+               * f * 2.2
+               / (f + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stats)))
+             ) DESC, tf.doc_id) AS rn
+      FROM tf JOIN df USING (w) JOIN lens ON tf.doc_id = lens.doc_id
+      GROUP BY tf.doc_id, dl
+    ) WHERE rn <= 10
+    """,
+)
+def txt_bm25(spark, sf_dir):
+    """BM25 ranking (k1=1.2, b=0.75) of the corpus against a fixed term
+    set — the retrieval scorer a RAG/data-curation stack runs next to ANN.
+    Scale shape: the per-doc term-frequency table exists ONLY for query
+    terms (the isin filter runs before the first shuffle, so the agg
+    carries a handful of rows per matching doc, not the corpus vocab);
+    document lengths are one map-side-combined count; N and avgdl ride a
+    broadcast scalar; global top-10 is TakeOrderedAndProject."""
+    QTERMS = ["scan", "join", "vector", "window"]
+    K1, B = 1.2, 0.75
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("w").isin(QTERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("f"))
+    )
+    df_t = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("dfc"))
+    idf = F.log(
+        ((F.col("n_docs") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)) + 1.0
+    )
+    contrib = idf * F.col("f") * (K1 + 1.0) / (
+        F.col("f") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("raw"))
+    )
+    return (
+        scored.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("raw", 4).alias("score"))
+    )
+
+
+@query(
+    "txt_hot_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents WHERE doc_id < 120
+    ), words AS (
+      SELECT doc_id,
+             unnest([{'i': x, 'w': ws[x]} for x in generate_series(1, len(ws))],
+                    recursive := true)
+      FROM toks
+    ), grams AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
+               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i)
+               || ' ' || lead(w, 3) OVER (PARTITION BY doc_id ORDER BY i)
+               || ' ' || lead(w, 4) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM words
+    ), counts AS (
+      SELECT g, count(*) AS n_total,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM grams WHERE g IS NOT NULL GROUP BY g
+    )
+    SELECT g, n_docs, n_total FROM (
+      SELECT g, n_docs, n_total,
+             row_number() OVER (ORDER BY n_docs DESC, n_total DESC, g) AS rn
+      FROM counts
+    ) WHERE rn <= 20
+    """,
+)
+def txt_hot_ngrams(spark, sf_dir):
+    """Corpus-wide hot 5-gram detection — the boilerplate-phrase signal
+    (nav chrome, license blurbs, template sentences show up as n-grams
+    with huge document frequency; Gopher/C4-style pipelines strip or
+    down-weight docs dominated by them). Shingling is the lambda-safe
+    arrays_zip expression (operators.dedup._shingle_expr); one
+    map-side-combined groupBy(gram) then TakeOrderedAndProject for the
+    global top-20 — no window over the gram table. count(DISTINCT doc_id)
+    carries (gram, doc_id) pairs through the agg; at 100 TB swap in
+    approx_count_distinct or a two-stage distinct-then-count (semantics
+    then approximate, so the exact form stays the oracle-checked one)."""
+    from .operators.dedup import _shingle_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    grams = d.select(
+        "doc_id", F.explode(_shingle_expr(toks, 5)).alias("g")
+    )
+    counts = grams.groupBy("g").agg(
+        F.count("*").alias("n_total"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(
+            F.desc("n_docs"), F.desc("n_total"), F.asc("g")
+        )
+        .limit(20)
+        .select("g", "n_docs", "n_total")
+    )
+
+
+@query(
+    "txt_corpus_logprob",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE doc_id < 40
+    ), dcounts AS (
+      SELECT doc_id, w, count(*) AS dc FROM words GROUP BY 1, 2
+    ), vocab AS (
+      SELECT w, CAST(sum(dc) AS BIGINT) AS c FROM dcounts GROUP BY w
+    ), tot AS (SELECT sum(c) AS corpus_total FROM vocab)
+    SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_words,
+           round(log2((SELECT corpus_total FROM tot))
+                 - sum(dc * log2(c)) / sum(dc), 5) AS neg_logprob
+    FROM dcounts JOIN vocab USING (w)
+    GROUP BY doc_id
+    """,
+)
+def txt_corpus_logprob(spark, sf_dir):
+    """Corpus-unigram-LM scoring (functions.text.corpus_logprob): each
+    document's mean -log2 p(word) under the corpus's own unigram model —
+    the perplexity-proxy quality signal. Only (id, word, count) triples
+    ride the vocab join; raw text never shuffles."""
+    from .functions.text import corpus_logprob
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    return corpus_logprob(d, "doc_id", "text")
 
 
 @query("s4_audio_transcribe")  # literal oracle via golden_oracle.py

@@ -124,3 +124,71 @@ def test_shingle_expr_differential_fuzz(spark):
                 for j in range(max(len(toks) - n + 1, 0))
             ]
             assert got[i] == want, (n, i, t, got[i], want)
+
+
+def test_corpus_logprob_rare_words_score_higher(spark):
+    """The perplexity-proxy signal orders documents correctly: a doc of
+    corpus-rare words scores strictly above a doc of corpus-common words;
+    the common-only doc's score is exactly -log2(p) of its words."""
+    import math
+
+    from ai_textbook_processor_spark.functions.text import corpus_logprob
+
+    # 'the' appears 18x, rare words once each; corpus total = 24 tokens
+    rows = [
+        (1, "the the the the the the the the the"),
+        (2, "the the the the the the the the the"),
+        (3, "zyx wvu tsr qpo nml kji"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus_logprob(df).collect()}
+    assert got[3]["neg_logprob"] > got[1]["neg_logprob"]
+    assert got[1]["neg_logprob"] == got[2]["neg_logprob"]
+    # doc1: every word has c=18, C=24 -> -log2(18/24)
+    want = round(-math.log2(18 / 24), 5)
+    assert abs(got[1]["neg_logprob"] - want) < 1e-9
+    # doc3: every word c=1 -> -log2(1/24) = log2(24)
+    assert abs(got[3]["neg_logprob"] - round(math.log2(24), 5)) < 1e-9
+    assert got[3]["n_words"] == 6
+
+
+def test_hot_ngrams_finds_planted_boilerplate(spark):
+    """A phrase planted in most docs dominates the corpus-wide 5-gram
+    counts (doc frequency first, then total occurrences)."""
+    from ai_textbook_processor_spark.harness import QUERIES
+    import pyspark.sql.functions as F
+    from ai_textbook_processor_spark.operators.dedup import _shingle_expr
+
+    boiler = "all rights reserved click to subscribe"
+    rows = [
+        (i, f"unique words alpha{i} beta{i} gamma{i} {boiler} tail{i}")
+        for i in range(30)
+    ] + [(100 + i, f"clean document body {i} with no template") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    grams = df.select("doc_id", F.explode(_shingle_expr(toks, 5)).alias("g"))
+    top = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("g"))
+        .limit(3)
+        .collect()
+    )
+    assert top[0]["n_docs"] == 30
+    assert "rights reserved click to subscribe" in {r["g"] for r in top} or any(
+        "reserved" in r["g"] for r in top
+    )
+
+
+def test_bm25_plan_is_take_ordered(spark):
+    from ai_textbook_processor_spark.harness import QUERIES
+
+    for name in ("txt_bm25", "txt_hot_ngrams"):
+        p = (
+            QUERIES[name](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in p, name
+        assert "CartesianProduct" not in p, name
