@@ -2501,6 +2501,76 @@ def ev_stream_late(spark, sf_dir):
 
 
 @query(
+    "ev_stream_dedup",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def ev_stream_dedup(spark, sf_dir):
+    """Streaming stateful DEDUPLICATION, oracle-checked: the events table
+    is replayed, then a second trigger re-delivers every 5th event (the
+    at-least-once-delivery double), through ``dropDuplicatesWithinWatermark``
+    on event_id. The final per-type counts and id-sums must equal the
+    batch DISTINCT oracle — i.e. the planted re-deliveries were absorbed,
+    not double-counted. Re-deliveries with event times inside the 1 h
+    watermark horizon are absorbed by the DEDUP STATE; older ones by the
+    watermark LATE FILTER — the two halves of the same exactly-once
+    contract, both exercised here (the corpus spans a month, so the
+    every-5th re-delivery set straddles the horizon). id_sum pins WHICH
+    rows survived, not just how many. At scale the watermark bounds dedup
+    state to the re-delivery horizon, which is what makes at-least-once
+    upstream + exactly-once counts possible on an unbounded stream."""
+    import os
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="atps_stream_dd_")
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/.f1.tmp")
+    os.rename(src + "/.f1.tmp", src + "/f1.parquet")
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("id_sum"),
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("atps_ev_stream_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second trigger: re-deliver every 5th event (same rows, same ids)
+        dupes = ev.where(F.col("event_id") % 5 == 0)
+        dupes.coalesce(1).write.mode("overwrite").parquet(src + "_redeliver")
+        part = [
+            f for f in os.listdir(src + "_redeliver") if f.endswith(".parquet")
+        ][0]
+        shutil.copy(f"{src}_redeliver/{part}", src + "/.f2.tmp")
+        os.rename(src + "/.f2.tmp", src + "/f2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("atps_ev_stream_dedup").select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.col("id_sum").cast("long").alias("id_sum"),
+    )
+
+
+@query(
     "pk_sequence_packing",
     """
     WITH toks AS (

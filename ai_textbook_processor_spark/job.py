@@ -82,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--mix-default", type=float, default=1.0)
     ap.add_argument(
+        "--domain-cap", type=int, default=None,
+        help="clean-corpus: keep at most K best-by-quality docs per "
+        "content_type (grouped_topk — no per-domain window sort)",
+    )
+    ap.add_argument(
         "--sink", choices=("parquet", "noop"), default="parquet",
         help="noop: execute the full plan but discard output (isolates "
         "extraction throughput from the writer in bench runs)",
@@ -147,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
             benchmark=benchmark,
             mix_rates=mix_rates,
             mix_default_rate=args.mix_default,
+            domain_cap=args.domain_cap,
         )
         summary["mode"] = "clean_corpus_resumable"
         summary["wall_sec"] = round(time.monotonic() - t0, 3)
@@ -192,6 +198,7 @@ def main(argv: list[str] | None = None) -> int:
             benchmark=benchmark,
             mix_rates=mix_rates,
             mix_default_rate=args.mix_default,
+            domain_cap=args.domain_cap,
         )
         cleaned.drop("text").write.mode("overwrite").parquet(
             f"{args.out}/cleaned"
@@ -201,6 +208,8 @@ def main(argv: list[str] | None = None) -> int:
         final_stage = (
             "after_mix"
             if mix_rates is not None
+            else "after_domain_cap"
+            if args.domain_cap is not None
             else "after_decontam"
             if benchmark is not None
             else "after_near_dedup"

@@ -65,6 +65,8 @@ def clean_corpus(
     decontam_shingle_n: int = 3,
     mix_rates: dict[str, float] | None = None,
     mix_default_rate: float = 1.0,
+    domain_cap: int | None = None,
+    domain_col: str = "content_type",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (cleaned DataFrame, funnel DataFrame of per-stage counts).
 
@@ -121,6 +123,7 @@ def clean_corpus(
         decontam_min_shared=decontam_min_shared,
         decontam_shingle_n=decontam_shingle_n,
         mix_rates=mix_rates, mix_default_rate=mix_default_rate,
+        domain_cap=domain_cap, domain_col=domain_col,
     )
 
 
@@ -139,8 +142,10 @@ def _stages_from_extracted(
     decontam_shingle_n: int = 3,
     mix_rates: dict[str, float] | None = None,
     mix_default_rate: float = 1.0,
+    domain_cap: int | None = None,
+    domain_col: str = "content_type",
 ) -> tuple[DataFrame, DataFrame]:
-    """Gate -> dedup -> (decontam) -> (mix) over an already-materialized
+    """Gate -> dedup -> (decontam) -> (domain cap) -> (mix) over an already-materialized
     extracted frame (columns: doc_id, spans, is_valid, text, quality,
     lang_guess, ...). Shared by clean_corpus (in-session checkpoint) and
     run_clean_corpus (durable staged table)."""
@@ -151,7 +156,10 @@ def _stages_from_extracted(
 
     # slim doc-level projection OF THE CACHE (InMemoryTableScan prunes to
     # these columns; the span arrays never ride a shuffle)
-    slim = extracted.select("doc_id", "text", "lang_guess", gate.alias("gate_ok"))
+    slim_cols = ["doc_id", "text", "lang_guess"]
+    if domain_cap is not None:
+        slim_cols += [domain_col, "quality"]
+    slim = extracted.select(*slim_cols, gate.alias("gate_ok"))
     gated = slim.where("gate_ok")
 
     # exact dedup: keep the smallest doc_id per content fingerprint
@@ -193,6 +201,27 @@ def _stages_from_extracted(
             .localCheckpoint()
         )
 
+    # optional per-domain cap (crawl "at most k docs per domain", here k
+    # best-by-quality per content_type): grouped_topk keeps each task's
+    # best k per domain map-side, so no WindowExec ever sorts a
+    # mega-domain and the exchange carries tasks*k rows per domain. The
+    # kept-id table is domains*k rows — bounded by the cap, not the
+    # corpus — and joins back as one more per-doc flag.
+    cap_kept = None
+    if domain_cap is not None:
+        from ..operators.topk import grouped_topk
+
+        cap_src = slim.where("gate_ok").select(
+            "doc_id", domain_col, (-F.col("quality")).alias("_negq")
+        )
+        cap_src = cap_src.join(winners.select("doc_id"), "doc_id", "left_semi")
+        cap_src = cap_src.join(losers, "doc_id", "left_anti")
+        if contam is not None:
+            cap_src = cap_src.join(F.broadcast(contam), "doc_id", "left_anti")
+        cap_kept = grouped_topk(
+            cap_src, domain_col, ["_negq", "doc_id"], domain_cap
+        ).select("doc_id")
+
     # optional stratified mixing — a pure Column flag, no extra pass
     sampled = (
         sample_keep_expr("lang_guess", mix_rates, "doc_id", mix_default_rate)
@@ -218,15 +247,25 @@ def _stages_from_extracted(
         )
     else:
         flags = flags.withColumn("is_contam", F.lit(False))
+    if cap_kept is not None:
+        flags = flags.join(
+            cap_kept.select("doc_id", F.lit(True).alias("is_cap_kept")),
+            "doc_id",
+            "left",
+        )
+    else:
+        flags = flags.withColumn("is_cap_kept", F.lit(True))
     is_winner = F.coalesce("is_winner", F.lit(False))
     is_loser = F.coalesce("is_loser", F.lit(False))
     is_kept = is_winner & ~is_loser & ~F.coalesce("is_contam", F.lit(False))
+    is_capped = is_kept & F.coalesce("is_cap_kept", F.lit(False))
     agg = flags.agg(
         F.sum(F.col("gate_ok").cast("long")).alias("extracted_valid"),
         F.sum(is_winner.cast("long")).alias("after_exact_dedup"),
         F.sum((is_winner & ~is_loser).cast("long")).alias("after_near_dedup"),
         F.sum(is_kept.cast("long")).alias("after_decontam"),
-        F.sum((is_kept & sampled).cast("long")).alias("after_mix"),
+        F.sum(is_capped.cast("long")).alias("after_domain_cap"),
+        F.sum((is_capped & sampled).cast("long")).alias("after_mix"),
     ).collect()[0]
     counts = {
         "input": n_input,
@@ -236,6 +275,8 @@ def _stages_from_extracted(
     }
     if benchmark is not None:
         counts["after_decontam"] = agg["after_decontam"]
+    if domain_cap is not None:
+        counts["after_domain_cap"] = agg["after_domain_cap"]
     if mix_rates is not None:
         counts["after_mix"] = agg["after_mix"]
     funnel = spark.createDataFrame(
@@ -245,6 +286,8 @@ def _stages_from_extracted(
     keep = winners.join(losers, "doc_id", "left_anti")
     if contam is not None:
         keep = keep.join(F.broadcast(contam), "doc_id", "left_anti")
+    if cap_kept is not None:
+        keep = keep.join(cap_kept, "doc_id", "left_semi")
     if mix_rates is not None:
         keep = keep.join(slim.select("doc_id", "lang_guess"), "doc_id").where(sampled)
     cleaned = extracted.join(keep.select("doc_id"), "doc_id", "left_semi")

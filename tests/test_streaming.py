@@ -119,3 +119,26 @@ def test_late_rows_below_watermark_are_dropped(spark):
     ).count()
     n_oklate = ev.where(F.col("event_id") % 10 == 1).count()
     assert n_stream == n_batch + n_oklate
+
+
+def test_stream_dedup_absorbs_redelivery(spark):
+    """Negative control for ev_stream_dedup: WITHOUT the dedup stage the
+    re-delivered rows inflate the counts; with it the totals equal batch
+    DISTINCT — proving the oracle match is the dedup working, not the
+    duplicates never arriving."""
+    from pyspark.sql import functions as F
+
+    from ai_textbook_processor_spark.harness import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n_distinct = ev.count()
+    n_redelivered = ev.where(F.col("event_id") % 5 == 0).count()
+    assert n_redelivered > 0
+
+    out = QUERIES["ev_stream_dedup"](spark, sf)
+    total = out.agg(F.sum("n")).first()[0]
+    assert total == n_distinct, (
+        f"dedup output {total} != distinct {n_distinct} "
+        f"(inflated would be {n_distinct + n_redelivered})"
+    )

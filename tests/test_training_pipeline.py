@@ -283,3 +283,40 @@ def test_clean_corpus_partitioning_independent(spark):
     f2, k2 = run(docs.repartition(13, "doc_id"))
     assert f1 == f2
     assert k1 == k2
+
+
+def test_domain_cap_stage(spark):
+    """Optional per-domain cap: at most k survivors per content_type, the
+    kept ones are the best-by-quality (doc_id tiebreak), funnel gains the
+    after_domain_cap stage, and the stage composes with dedup (caps apply
+    to the post-dedup survivor set)."""
+    docs = corpus_df(spark, 36, seed=42)
+    cfg = CriteriaConfig(grade_lo=-100.0, grade_hi=100.0)
+
+    cleaned, funnel = clean_corpus(
+        docs, cfg, min_quality=0.0, domain_cap=2
+    )
+    f = {r["stage"]: r["n"] for r in funnel.collect()}
+    assert "after_domain_cap" in f
+    assert f["after_domain_cap"] <= f["after_near_dedup"]
+
+    rows = cleaned.select("doc_id", "content_type", "quality").collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r["content_type"], []).append(r)
+    assert all(len(v) <= 2 for v in by_dom.values()), {
+        k: len(v) for k, v in by_dom.items()
+    }
+    assert f["after_domain_cap"] == len(rows)
+
+    # kept = the 2 best-by-quality among the UNCAPPED survivors per domain
+    unc, _ = clean_corpus(docs, cfg, min_quality=0.0)
+    surv = unc.select("doc_id", "content_type", "quality").collect()
+    for dom, kept in by_dom.items():
+        pool = sorted(
+            (r for r in surv if r["content_type"] == dom),
+            key=lambda r: (-r["quality"], r["doc_id"]),
+        )[:2]
+        assert sorted(r["doc_id"] for r in kept) == sorted(
+            r["doc_id"] for r in pool
+        ), dom
