@@ -402,6 +402,115 @@ def s6_oracle(sf_dir: str) -> str:
     )
 
 
+def _pq_pure(sf_dir: str, m: int = 4, k_sub: int = 8, iters: int = 3,
+             qid: int = 7, k: int = 10):
+    """Pure-Python twin of the PQ pipeline (train + encode + ADC search +
+    brute-force recall), replicating the Spark operators' exact float
+    discipline: sequential left-fold double sums (dist2/aggregate order),
+    HALF_UP rounding of Lloyd means to 5 decimals each iteration (the
+    quantization barrier that makes cross-engine equality robust),
+    (-dist, -cid) max tiebreaks, and empty-cell carry-forward."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    vecs = {
+        int(i): [float(x) for x in e]
+        for i, e in zip(t["vec_id"], t["embedding"])
+    }
+    ids = sorted(vecs)
+    dim = len(vecs[ids[0]])
+    d = dim // m
+
+    def dist2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    books = {}
+    for j in range(m):
+        sub = {i: vecs[i][j * d : (j + 1) * d] for i in ids}
+        cents = {c: list(sub[ids[c]]) for c in range(k_sub)}
+        for _ in range(iters):
+            groups: dict = {}
+            for i in ids:
+                best = max(
+                    range(k_sub),
+                    key=lambda c: (-dist2(sub[i], cents[c]), -c),
+                )
+                groups.setdefault(best, []).append(i)
+            nxt = {}
+            for c, members in groups.items():
+                means = []
+                for p in range(d):
+                    s = 0.0
+                    for i in members:
+                        s += sub[i][p]
+                    means.append(_round_half_up(s / len(members), 5))
+                nxt[c] = means
+            for c, ce in cents.items():
+                nxt.setdefault(c, ce)
+            cents = nxt
+        books[j] = cents
+
+    codes = {
+        i: [
+            max(
+                range(k_sub),
+                key=lambda c: (
+                    -dist2(vecs[i][j * d : (j + 1) * d], books[j][c]),
+                    -c,
+                ),
+            )
+            for j in range(m)
+        ]
+        for i in ids
+    }
+    qv = vecs[qid]
+    lut = {
+        (j, c): dist2(qv[j * d : (j + 1) * d], books[j][c])
+        for j in range(m)
+        for c in range(k_sub)
+    }
+
+    def adc(i):
+        acc = 0.0
+        for j in range(m):
+            acc += lut[(j, codes[i][j])]
+        return acc
+
+    ranked = sorted(ids, key=lambda i: (adc(i), i))
+    topk = [(i, _round_half_up(adc(i), 5)) for i in ranked[:k]]
+    pq_ids = [i for i in ranked if i != qid][:k]
+    brute = sorted(
+        (i for i in ids if i != qid), key=lambda i: (dist2(vecs[i], qv), i)
+    )[:k]
+    hits = len(set(pq_ids) & set(brute))
+    return topk, hits
+
+
+def pq_topk_oracle(sf_dir: str) -> str:
+    topk, _ = _pq_pure(sf_dir)
+    lits = [
+        (f"CAST({i} AS BIGINT)", f"CAST({a!r} AS DOUBLE)") for i, a in topk
+    ]
+    return _values_sql(lits, ["vec_id", "adc"])
+
+
+def pq_recall_oracle(sf_dir: str) -> str:
+    _, hits = _pq_pure(sf_dir)
+    return _values_sql(
+        [
+            (
+                "CAST(10 AS BIGINT)",
+                f"CAST({hits} AS BIGINT)",
+                f"CAST({round(hits / 10.0, 2)!r} AS DOUBLE)",
+            )
+        ],
+        ["k", "hits", "recall"],
+    )
+
+
 def s6png_oracle(sf_dir: str) -> str:
     """Pure twin of harness.s6_png_features: drives the same PNG
     pack/decode kernels without Spark (the codec itself is pinned
@@ -520,5 +629,7 @@ def literal_oracles(sf_dir: str) -> dict[str, str]:
         "s4_audio_transcribe": s4_oracle(sf_dir),
         "s6_image_features": s6_oracle(sf_dir),
         "s6_png_features": s6png_oracle(sf_dir),
+        "sim_pq_topk": pq_topk_oracle(sf_dir),
+        "sim_pq_recall": pq_recall_oracle(sf_dir),
         "mm_video_frames": mm_video_oracle(sf_dir),
     }

@@ -1847,6 +1847,55 @@ def sim_ivf_multiprobe(spark, sf_dir):
 
 
 
+@query("sim_pq_topk")  # literal oracle via golden_oracle.py
+def sim_pq_topk(spark, sf_dir):
+    """Product Quantization ANN (operators.similarity.pq_train/encode/
+    search): 64-dim vectors split into 4 subspaces, 8 L2 centroids per
+    subspace Lloyd-fit from deterministic seeds, every vector encoded as
+    4 one-byte codes, then ADC top-10 for query vec 7 from the m*k_sub
+    lookup table — raw vectors never touched at search time. At 100 TB
+    the codes table is 64x smaller than the embeddings and the LUT join
+    is a broadcast; the literal oracle recomputes train+encode+search in
+    pure Python."""
+    from .operators.similarity import pq_encode, pq_search, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    book = pq_train(emb, m=4, k_sub=8, iters=3)
+    codes = pq_encode(emb, book, m=4)
+    q = emb.where(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    return pq_search(codes, book, q, k=10, m=4)
+
+
+@query("sim_pq_recall")  # literal oracle via golden_oracle.py
+def sim_pq_recall(spark, sf_dir):
+    """PQ quality harness: recall@10 of the ADC ranking against exact
+    brute-force L2 — the metric that decides m/k_sub in production. Both
+    rankings exclude the query vector itself; the literal oracle
+    recomputes both sides."""
+    from .operators.similarity import dist2, pq_encode, pq_search, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    book = pq_train(emb, m=4, k_sub=8, iters=3)
+    codes = pq_encode(emb, book, m=4)
+    q = emb.where(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    pq_ids = pq_search(
+        codes.where(F.col("vec_id") != 7), book, q, k=10, m=4
+    ).select("vec_id")
+    d2 = dist2(F.col("embedding").cast("array<double>"), F.col("qv"))
+    brute_ids = (
+        emb.where(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", d2.alias("_d"))
+        .orderBy(F.asc("_d"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = pq_ids.join(brute_ids, "vec_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(10, hits, round(hits / 10.0, 2))], "k long, hits long, recall double"
+    )
+
+
 @query(
     "sim_ivf_recall",
     f"""

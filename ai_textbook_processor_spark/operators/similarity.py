@@ -59,13 +59,26 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     )
 
 
+def dist2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, same sequential-fold discipline as :func:`dot`
+    (left-to-right double adds — bit-identical to a plain Python loop,
+    which is what the pure-Python oracle twins rely on)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def ivf_assign(
     df: DataFrame, centroids: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Coarse quantization: each vector joins its best (max-cosine)
-    centroid; centroids is a small DataFrame (cid, cemb) — broadcast.
-    The returned ``cid`` is the IVF cell / partition key at scale.
+    """Coarse quantization: each vector joins its best centroid
+    (max-cosine, or min-L2 with ``metric="l2"`` — the PQ convention);
+    centroids is a small DataFrame (cid, cemb) — broadcast. The returned
+    ``cid`` is the IVF cell / partition key at scale.
 
     argmin is groupBy + max_by (NOT a per-id window): the broadcast
     crossJoin keeps all K centroid rows of a vector inside its input
@@ -75,7 +88,12 @@ def ivf_assign(
     """
     emb = F.col(vec_col).cast("array<double>")
     cemb = F.col("cemb").cast("array<double>")
-    sim = dot(emb, cemb) / (norm(emb) * norm(cemb))
+    if metric == "cosine":
+        sim = dot(emb, cemb) / (norm(emb) * norm(cemb))
+    elif metric == "l2":
+        sim = -dist2(emb, cemb)  # max(-d2) == min distance
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     others = [c for c in df.columns if c != id_col]
     key = F.struct(F.col("simc").alias("s"), (-F.col("cid")).alias("c"))
     return (
@@ -90,6 +108,7 @@ def ivf_assign(
 def kmeans_step(
     df: DataFrame, centroids: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """One Lloyd iteration for IVF centroid training: assign every vector
     to its max-cosine centroid (``ivf_assign`` — broadcast centroids,
@@ -101,7 +120,7 @@ def kmeans_step(
     size. A single step is SQL-expressible and oracle-matched
     (sim_kmeans_step); iteration is :func:`kmeans_fit`.
     """
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col, metric)
     elems = assigned.select(
         "cid",
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
@@ -119,6 +138,7 @@ def kmeans_step(
 def kmeans_fit(
     df: DataFrame, centroids: DataFrame, iters: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Iterated Lloyd: run ``kmeans_step`` ``iters`` times, rebuilding the
     centroid table from the step output each round. The per-round
@@ -138,7 +158,7 @@ def kmeans_fit(
         int(r["cid"]): [float(v) for v in r["cemb"]] for r in centroids.collect()
     }
     for _ in range(iters):
-        rows = kmeans_step(df, cents, id_col, vec_col).collect()
+        rows = kmeans_step(df, cents, id_col, vec_col, metric).collect()
         by_cid: dict = {}
         for r in rows:
             by_cid.setdefault(int(r["cid"]), {})[r["pos"]] = r["c_mean"]
@@ -153,3 +173,153 @@ def kmeans_fit(
         lit = sorted(nxt.items())
         cents = spark.createDataFrame(lit, "cid long, cemb array<double>")
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (PQ): the standard embedding-compression path at
+# 100 TB scale — a 64-dim float32 vector (256 B) becomes m sub-codes
+# (m bytes at k<=256), and approximate distances are computed from a tiny
+# per-query lookup table without touching raw vectors. Jegou et al., "Product
+# Quantization for Nearest Neighbor Search" (TPAMI 2011).
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame, m: int = 4, k_sub: int = 8, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None,
+) -> DataFrame:
+    """Train per-subspace codebooks: split the vector into ``m`` equal
+    slices and Lloyd-fit ``k_sub`` centroids per subspace (L2, the PQ
+    convention), seeded deterministically from the ``k_sub`` smallest ids'
+    subvectors. Returns (sub, cid, cemb).
+
+    Each subspace fit is the existing :func:`kmeans_fit` loop — raw
+    vectors never shuffle (K*subdim partial sums only), the per-round
+    collect is model-sized. m*iters tiny jobs total; at 100 TB you train
+    on a sampled slice (stratified_sample upstream) and broadcast the
+    resulting m*k_sub-row codebook everywhere, so training cost is
+    independent of corpus size."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    spark = df.sparkSession
+    parts = []
+    for j in range(m):
+        sub = df.select(
+            id_col, F.slice(F.col(vec_col), j * d + 1, d).alias(vec_col)
+        )
+        # seeds are model-sized (k_sub rows): collect the smallest ids'
+        # subvectors and number them 0..k_sub-1 driver-side
+        seed_rows = (
+            sub.orderBy(id_col).limit(k_sub)
+            .select(F.col(vec_col).cast("array<double>"))
+            .collect()
+        )
+        seeds = spark.createDataFrame(
+            [(i, [float(x) for x in r[0]]) for i, r in enumerate(seed_rows)],
+            "cid long, cemb array<double>",
+        )
+        fitted = kmeans_fit(sub, seeds, iters=iters, id_col=id_col,
+                            vec_col=vec_col, metric="l2")
+        parts.append(fitted.withColumn("sub", F.lit(j)))
+    book = parts[0]
+    for p in parts[1:]:
+        book = book.unionByName(p)
+    # model-sized (m*k_sub rows): collect+recreate so downstream broadcast
+    # joins embed literals instead of re-running m Lloyd lineages
+    rows = [(int(r["sub"]), int(r["cid"]), [float(x) for x in r["cemb"]])
+            for r in book.collect()]
+    return spark.createDataFrame(
+        sorted(rows), "sub int, cid long, cemb array<double>"
+    )
+
+
+def _pq_subvectors(df: DataFrame, m: int, d: int, id_col: str, vec_col: str):
+    """(id, sub, subvec) — one exploded row per subspace, built with a
+    lambda-safe arrays_zip-free slice stack (m is tiny and static)."""
+    subs = F.array(*[
+        F.struct(
+            F.lit(j).alias("sub"),
+            F.slice(F.col(vec_col).cast("array<double>"), j * d + 1, d).alias("v"),
+        )
+        for j in range(m)
+    ])
+    return df.select(id_col, F.explode(subs).alias("s")).select(
+        id_col, F.col("s.sub").alias("sub"), F.col("s.v").alias("v")
+    )
+
+
+def pq_encode(
+    df: DataFrame, codebook: DataFrame, m: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None,
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest (L2) centroid ids:
+    (id, codes array<long>) with codes[j] the cid for subspace j.
+
+    One broadcast crossJoin against the m*k_sub-row codebook, one
+    map-side-combined min_by per (id, sub) — the exchange carries m rows
+    per vector — then one groupBy(id) packing codes in subspace order.
+    Deterministic tiebreak (distance, then cid)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    d = dim // m
+    sv = _pq_subvectors(df, m, d, id_col, vec_col)
+    dist = dist2(F.col("v"), F.col("cemb"))
+    key = F.struct((-F.col("_d")).alias("nd"), (-F.col("cid")).alias("nc"))
+    assigned = (
+        sv.join(F.broadcast(codebook), "sub")
+        .withColumn("_d", dist)
+        .groupBy(id_col, "sub")
+        .agg(F.max_by("cid", key).alias("code"))
+    )
+    packed = assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+    return packed
+
+
+def pq_search(
+    codes: DataFrame, codebook: DataFrame, query: DataFrame, k: int = 10,
+    m: int = 4, id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k: the query stays exact,
+    each database vector is its m codes. The per-query lookup table
+    (sub, cid) -> dist2(q_sub, centroid) is m*k_sub rows built by one
+    broadcast pass; approximate distance = sum over subspaces of
+    lut[sub][codes[sub]], folded per row with ONE broadcast join on the
+    exploded (id, sub, code) triples and a map-side-combined sum — the
+    exchange carries 1 partial row per vector. Global top-k is
+    TakeOrderedAndProject (adc asc, id asc)."""
+    q = query.select(F.col("qv").cast("array<double>").alias("qv"))
+    d_sub = F.size(F.col("cemb"))
+    lut = (
+        codebook.crossJoin(F.broadcast(q))
+        .select(
+            "sub", "cid",
+            dist2(
+                F.slice(F.col("qv"), F.col("sub") * d_sub + 1, d_sub),
+                F.col("cemb"),
+            ).alias("ld"),
+        )
+    )
+    triples = codes.select(
+        id_col, F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        triples.join(
+            F.broadcast(lut),
+            (triples["sub"] == lut["sub"]) & (triples["code"] == lut["cid"]),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("ld").alias("adc_raw"))
+    )
+    return (
+        scored.orderBy(F.asc("adc_raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("adc_raw", 5).alias("adc"))
+    )

@@ -204,3 +204,78 @@ def test_pack_bins_overflow_bound_and_contiguity(spark):
 
     stats = bin_stats(packed).collect()
     assert sum(r["n_docs"] for r in stats) == 600
+
+
+def test_pq_recovers_planted_clusters(spark):
+    """PQ on structured data: vectors drawn from 8 tight per-subspace
+    clusters must encode losslessly enough that ADC top-10 ~= exact L2
+    top-10 (recall >= 0.8); codes stay in [0, k_sub)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ai_textbook_processor_spark.operators.similarity import (
+        dist2, pq_encode, pq_search, pq_train,
+    )
+
+    rng = random.Random(11)
+    m, d, k_sub = 4, 4, 8
+    anchors = [
+        [rng.uniform(-5, 5) for _ in range(d)] for _ in range(k_sub * m)
+    ]
+    # 20 distinct cluster PATTERNS x 10 members: vectors sharing a pattern
+    # get identical PQ codes, so ADC ties resolve by id while exact L2
+    # resolves by noise — with 10-member patterns the query's 9 twins
+    # dominate both rankings and recall is structural, not tie-luck
+    rows = []
+    for i in range(200):
+        pat = i % 20
+        vec = []
+        for j in range(m):
+            # base-8 digits of pat -> injective pattern->code mapping
+            a = anchors[j * k_sub + (pat // (k_sub**j)) % k_sub]
+            vec += [x + rng.uniform(-0.05, 0.05) for x in a]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    book = pq_train(df, m=m, k_sub=k_sub, iters=4)
+    codes = pq_encode(df, book, m=m)
+    got = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert len(got) == 200
+    assert all(0 <= c < k_sub for cs in got.values() for c in cs)
+
+    q = df.where(F.col("vec_id") == 3).select(F.col("embedding").alias("qv"))
+    pq_ids = {
+        r["vec_id"]
+        for r in pq_search(
+            codes.where(F.col("vec_id") != 3), book, q, k=10, m=m
+        ).collect()
+    }
+    d2 = dist2(F.col("embedding"), F.col("qv"))
+    brute = {
+        r["vec_id"]
+        for r in df.where(F.col("vec_id") != 3)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", d2.alias("_d"))
+        .orderBy(F.asc("_d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    assert len(pq_ids & brute) >= 8, (sorted(pq_ids), sorted(brute))
+
+
+def test_pq_deterministic_across_partitionings(spark):
+    from ai_textbook_processor_spark.operators.similarity import (
+        pq_encode, pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    outs = []
+    for parts in (1, 5, 16):
+        df = emb.repartition(parts)
+        book = pq_train(df, m=4, k_sub=8, iters=2)
+        codes = pq_encode(df, book, m=4)
+        outs.append(
+            sorted((r["vec_id"], tuple(r["codes"])) for r in codes.collect())
+        )
+    assert outs[0] == outs[1] == outs[2]
