@@ -2932,43 +2932,83 @@ def txt_unigram_entropy(spark, sf_dir):
 def txt_bm25(spark, sf_dir):
     """BM25 ranking (k1=1.2, b=0.75) of the corpus against a fixed term
     set — the retrieval scorer a RAG/data-curation stack runs next to ANN.
-    Scale shape: the per-doc term-frequency table exists ONLY for query
-    terms (the isin filter runs before the first shuffle, so the agg
-    carries a handful of rows per matching doc, not the corpus vocab);
-    document lengths are one map-side-combined count; N and avgdl ride a
-    broadcast scalar; global top-10 is TakeOrderedAndProject."""
+
+    Scale shape (r4 rewrite, Exchange 10 -> 1): tokenization happens ONCE
+    per row into a projected array column, and per-term frequencies are
+    array-filter counts over it — no explode, no per-term join, no
+    (doc, word) shuffle at all. Corpus stats (N, avgdl, per-term document
+    frequencies) are ONE aggregate over the slim per-doc rows, broadcast
+    back as a scalar row; the score is then a pure column expression and
+    the global top-10 is TakeOrderedAndProject. The tokenizer runs twice
+    (stats lineage + scoring lineage) — at scale the slim per-doc
+    frequency table is the natural persisted artifact between the two
+    passes. Catalyst keeps the token array un-inlined because
+    regexp_extract_all is non-cheap and multiply-referenced (guarded in
+    test_text_functions)."""
     QTERMS = ["scan", "join", "vector", "window"]
     K1, B = 1.2, 0.75
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    toks = d.select(
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    # ONE fold over the token array packs dl + every per-term count into a
+    # struct, so the token array is referenced exactly once — Catalyst's
+    # CollapseProject re-inlines multiply-referenced aliases (measured 6
+    # tokenizer copies in the optimized plan for the naive multi-column
+    # form), and the localCheckpoint barrier keeps the downstream field
+    # extraction from re-inlining the fold. Net: the tokenizer runs once
+    # per row, total, across both the stats and scoring lineages.
+    init = F.struct(
+        F.lit(0).alias("dl"), *[F.lit(0).alias(f"f_{t}") for t in QTERMS]
+    )
+
+    def merge(acc, x):
+        return F.struct(
+            (acc["dl"] + 1).alias("dl"),
+            *[
+                (acc[f"f_{t}"] + F.when(x == t, 1).otherwise(0)).alias(f"f_{t}")
+                for t in QTERMS
+            ],
+        )
+
+    packed = d.select(
+        "doc_id", F.aggregate(toks, init, merge).alias("c")
+    ).localCheckpoint(eager=False)
+    per_doc = packed.select(
         "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
-        ).alias("w"),
+        F.col("c.dl").cast("long").alias("dl"),
+        *[F.col(f"c.f_{t}").cast("long").alias(f"f_{t}") for t in QTERMS],
     )
-    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = lens.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"f_{t}") > 0).cast("long")).alias(f"dfc_{t}")
+            for t in QTERMS
+        ],
     )
-    tf = (
-        toks.where(F.col("w").isin(QTERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("f"))
-    )
-    df_t = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("dfc"))
-    idf = F.log(
-        ((F.col("n_docs") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)) + 1.0
-    )
-    contrib = idf * F.col("f") * (K1 + 1.0) / (
-        F.col("f") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
-    )
+
+    def contrib(t):
+        idf = F.log(
+            (
+                (F.col("n_docs") - F.col(f"dfc_{t}") + 0.5)
+                / (F.col(f"dfc_{t}") + 0.5)
+            )
+            + 1.0
+        )
+        f = F.col(f"f_{t}")
+        return F.when(
+            f > 0,
+            idf * f * (K1 + 1.0)
+            / (f + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(0.0)
+
     scored = (
-        tf.join(F.broadcast(df_t), "w")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(contrib).alias("raw"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(sum(F.col(f"f_{t}") for t in QTERMS) > 0)
+        .select(
+            "doc_id",
+            sum(contrib(t) for t in QTERMS).alias("raw"),
+        )
     )
     return (
         scored.orderBy(F.desc("raw"), F.asc("doc_id"))

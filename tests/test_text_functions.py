@@ -192,3 +192,21 @@ def test_bm25_plan_is_take_ordered(spark):
         )
         assert "TakeOrderedAndProject" in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_bm25_single_tokenize_and_bounded_exchanges(spark):
+    """r4 plan guard: the BM25 rewrite packs dl + per-term counts into one
+    array fold behind a checkpoint barrier — Catalyst must NOT re-inline
+    the tokenizer (CollapseProject duplicates multiply-referenced aliases:
+    the naive multi-column form carried 6 copies), and the whole query
+    needs at most 2 exchanges (stats aggregate + its broadcast)."""
+    from ai_textbook_processor_spark.harness import QUERIES
+
+    df = QUERIES["txt_bm25"](spark, "/root/testdata/sf0.001")
+    qe = df._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+    assert opt.count("regexp_extract_all") == 0, (
+        "tokenizer leaked past the checkpoint barrier:\n" + opt[:2000]
+    )
+    p = qe.executedPlan().toString()
+    assert p.count("Exchange") <= 2, p
