@@ -566,6 +566,111 @@ def ev_sessionize(spark, sf_dir):
     )
 
 
+@query(
+    "src_merge_upsert",
+    """
+    WITH merged AS (
+      SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id < 50 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id < 50 AND doc_id % 3 != 0
+      UNION ALL
+      SELECT doc_id + 1000 AS doc_id, lang, CAST(n_chars * 2 AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id < 5
+    )
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM merged GROUP BY lang
+    """,
+)
+def src_merge_upsert(spark, sf_dir):
+    """MERGE INTO / upsert semantics (sources.io_catalog.LocalTable.merge
+    — the Iceberg copy-on-write shape): seed a catalog table with 50
+    docs, merge a re-crawl batch that UPDATES every doc_id % 3 == 0 row
+    (n_chars + 1000) and INSERTS 5 brand-new ids, read the snapshot back
+    and aggregate. The oracle reconstructs the exact merged state from
+    the base table, so the value match proves updated rows replaced
+    their originals (no duplicates), untouched rows survived, and
+    inserts landed — id_sum pins the row set. Readers only ever see
+    whole snapshots: the merge commit is one manifest rename."""
+    import tempfile
+
+    from .sources.io_catalog import Catalog
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    base = d.where(F.col("doc_id") < 50)
+    updates = base.where(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    inserts = d.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        "lang",
+        (F.col("n_chars") * 2).alias("n_chars"),
+    )
+
+    root = tempfile.mkdtemp(prefix="atps_merge_")
+    tbl = Catalog(root).table("docs")
+    tbl.append(base, commit_id="seed")
+    tbl.merge(updates.unionByName(inserts), key="doc_id", commit_id="recrawl")
+    return (
+        tbl.read(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+@query(
+    "ev_session_window",
+    """
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+           count(*) AS n
+    FROM (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR date_diff('second',
+                                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                   ts) >= 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE user_id < 15
+      )
+    ) GROUP BY user_id, session_id
+    """,
+)
+def ev_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (the engine-managed
+    merging-window operator the stateful streaming sessionizer mirrors),
+    exercised in batch and value-matched against the gaps-and-islands
+    SQL: per (user, session) the window start must equal the island's
+    min(ts) and the counts must agree. Boundary semantics pinned by the
+    oracle: session_window closes STRICTLY BEFORE gap = exactly 30 min
+    (an event at start + 1800 s opens a NEW session -> the islands SQL
+    uses >= 1800). One shuffle on user_id; the windows merge inside the
+    aggregation, no per-user Python."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 15)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            "n",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (training-data pipeline ops; scale path = minhash-LSH,
 # exact jaccard is the verifier on LSH candidates)

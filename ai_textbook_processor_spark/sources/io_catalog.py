@@ -79,12 +79,71 @@ class LocalTable:
         os.replace(tmp, self._manifest_path(commit_id))  # the atomic commit
         return commit_id
 
+    def merge(self, source: DataFrame, key: str,
+              commit_id: str | None = None, meta: dict | None = None) -> str:
+        """Copy-on-write MERGE (upsert) by ``key`` — the Iceberg
+        ``MERGE INTO`` shape: rows whose key appears in ``source`` are
+        replaced, new keys are inserted, everything else is carried
+        forward. One atomic snapshot: the merged state is written to new
+        files and committed with a manifest that lists every prior commit
+        in ``replaces``; readers never see a half-merged table because the
+        manifest rename is the only visibility switch. Idempotent by
+        commit id like :meth:`append` — a crashed-and-retried merge with
+        the same id re-runs the write but commits once.
+
+        At 100 TB the same plan runs as Iceberg copy-on-write MERGE (or
+        merge-on-read with delete files); the anti-join is a shuffle on
+        the slim key unless AQE broadcasts the source side. This is the
+        re-crawl path: refreshed documents supersede stale rows by
+        doc_id."""
+        commit_id = commit_id or uuid.uuid4().hex[:12]
+        if os.path.exists(self._manifest_path(commit_id)):
+            return commit_id
+        spark = source.sparkSession
+        current = self.read(spark)
+        replaces = sorted(self.committed_ids())
+        merged = (
+            current.join(source.select(key).distinct(), key, "left_anti")
+            .unionByName(source)
+            if current is not None
+            else source
+        )
+
+        staging = os.path.join(self.dir, f"_staging-{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").parquet(staging)
+        files = []
+        for fn in os.listdir(staging):
+            if fn.endswith(".parquet"):
+                dst = f"{commit_id}-{fn}"
+                shutil.move(
+                    os.path.join(staging, fn), os.path.join(self.data_dir, dst)
+                )
+                files.append(dst)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        manifest = {
+            "commit_id": commit_id,
+            "files": sorted(files),
+            "replaces": replaces,
+            "meta": meta or {},
+        }
+        tmp = self._manifest_path(commit_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(commit_id))
+        return commit_id
+
     # -- read ---------------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame | None:
+        manifests = self.manifests()
+        replaced = {
+            cid for m in manifests for cid in m.get("replaces", ())
+        }
         paths = [
             os.path.join(self.data_dir, fn)
-            for m in self.manifests()
+            for m in manifests
+            if m["commit_id"] not in replaced
             for fn in m["files"]
         ]
         if not paths:

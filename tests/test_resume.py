@@ -212,3 +212,43 @@ def test_crash_between_data_commit_and_lineage_append(spark, tmp_path, monkeypat
     )
     assert len(per_bucket) == N_BUCKETS
     assert all(r["count"] == 1 for r in per_bucket)
+
+
+def test_merge_upsert_snapshot_semantics(spark, tmp_path):
+    """LocalTable.merge: updated keys replaced (no duplicates), new keys
+    inserted, untouched rows carried forward; sequential merges compose;
+    an idempotent retry of a committed merge is a no-op snapshot-wise."""
+    from ai_textbook_processor_spark.sources.io_catalog import Catalog
+
+    tbl = Catalog(str(tmp_path)).table("t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    tbl.append(base, commit_id="seed")
+
+    up1 = spark.createDataFrame(
+        [(3, "v3-new"), (7, "v7-new"), (100, "v100")], "k long, v string"
+    )
+    tbl.merge(up1, key="k", commit_id="m1")
+    state = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    assert len(state) == 11
+    assert state[3] == "v3-new" and state[7] == "v7-new"
+    assert state[100] == "v100" and state[0] == "v0"
+
+    # second merge composes on the first's snapshot
+    up2 = spark.createDataFrame(
+        [(3, "v3-newer"), (200, "v200")], "k long, v string"
+    )
+    tbl.merge(up2, key="k", commit_id="m2")
+    state = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    assert len(state) == 12
+    assert state[3] == "v3-newer" and state[7] == "v7-new" and state[200] == "v200"
+
+    # idempotent retry: same commit id changes nothing
+    tbl.merge(up1, key="k", commit_id="m1")
+    state2 = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    assert state2 == state
+
+    # a row count proves no duplicate keys survive anywhere
+    n = tbl.read(spark).count()
+    assert n == 12
