@@ -489,6 +489,111 @@ def _pq_pure(sf_dir: str, m: int = 4, k_sub: int = 8, iters: int = 3,
     return topk, hits
 
 
+def _ivfpq_pure(sf_dir: str, m: int = 4, k_sub: int = 8, iters: int = 2,
+                qid: int = 7, k: int = 10, n_probe: int = 2):
+    """Pure twin of sim_ivfpq_topk: L2 coarse Lloyd (seeds vec_id 1-4,
+    cid = vec_id - 1), residual PQ train/encode, 2-cell probe, residual
+    ADC — same float discipline as :func:`_pq_pure`."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    vecs = {
+        int(i): [float(x) for x in e]
+        for i, e in zip(t["vec_id"], t["embedding"])
+    }
+    ids = sorted(vecs)
+    dim = len(vecs[ids[0]])
+    d = dim // m
+
+    def dist2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def lloyd_l2(points, cents, iters):
+        for _ in range(iters):
+            groups: dict = {}
+            for i in sorted(points):
+                best = max(
+                    sorted(cents),
+                    key=lambda c: (-dist2(points[i], cents[c]), -c),
+                )
+                groups.setdefault(best, []).append(i)
+            nxt = {}
+            for c, members in groups.items():
+                means = []
+                for p in range(len(points[members[0]])):
+                    s = 0.0
+                    for i in members:
+                        s += points[i][p]
+                    means.append(_round_half_up(s / len(members), 5))
+                nxt[c] = means
+            for c, ce in cents.items():
+                nxt.setdefault(c, ce)
+            cents = nxt
+        return cents
+
+    coarse = lloyd_l2(vecs, {v - 1: list(vecs[v]) for v in (1, 2, 3, 4)}, iters)
+    cell = {
+        i: max(
+            sorted(coarse),
+            key=lambda c: (-dist2(vecs[i], coarse[c]), -c),
+        )
+        for i in ids
+    }
+    resid = {
+        i: [x - c for x, c in zip(vecs[i], coarse[cell[i]])] for i in ids
+    }
+
+    books = {}
+    for j in range(m):
+        sub = {i: resid[i][j * d : (j + 1) * d] for i in ids}
+        seeds = {c: list(sub[ids[c]]) for c in range(k_sub)}
+        books[j] = lloyd_l2(sub, seeds, iters)
+    codes = {
+        i: [
+            max(
+                sorted(books[j]),
+                key=lambda c: (
+                    -dist2(resid[i][j * d : (j + 1) * d], books[j][c]),
+                    -c,
+                ),
+            )
+            for j in range(m)
+        ]
+        for i in ids
+    }
+
+    qv = vecs[qid]
+    probed = sorted(coarse, key=lambda c: (dist2(qv, coarse[c]), c))[:n_probe]
+    qres = {c: [x - y for x, y in zip(qv, coarse[c])] for c in probed}
+    lut = {
+        (c, j, cc): dist2(qres[c][j * d : (j + 1) * d], books[j][cc])
+        for c in probed
+        for j in range(m)
+        for cc in books[j]
+    }
+    cand = [i for i in ids if cell[i] in probed]
+
+    def adc(i):
+        acc = 0.0
+        for j in range(m):
+            acc += lut[(cell[i], j, codes[i][j])]
+        return acc
+
+    ranked = sorted(cand, key=lambda i: (adc(i), i))[:k]
+    return [(i, _round_half_up(adc(i), 5)) for i in ranked]
+
+
+def ivfpq_topk_oracle(sf_dir: str) -> str:
+    lits = [
+        (f"CAST({i} AS BIGINT)", f"CAST({a!r} AS DOUBLE)")
+        for i, a in _ivfpq_pure(sf_dir)
+    ]
+    return _values_sql(lits, ["vec_id", "adc"])
+
+
 def pq_topk_oracle(sf_dir: str) -> str:
     topk, _ = _pq_pure(sf_dir)
     lits = [
@@ -630,6 +735,7 @@ def literal_oracles(sf_dir: str) -> dict[str, str]:
         "s6_image_features": s6_oracle(sf_dir),
         "s6_png_features": s6png_oracle(sf_dir),
         "sim_pq_topk": pq_topk_oracle(sf_dir),
+        "sim_ivfpq_topk": ivfpq_topk_oracle(sf_dir),
         "sim_pq_recall": pq_recall_oracle(sf_dir),
         "mm_video_frames": mm_video_oracle(sf_dir),
     }

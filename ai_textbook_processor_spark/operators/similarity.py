@@ -323,3 +323,96 @@ def pq_search(
         .limit(k)
         .select(id_col, F.round("adc_raw", 5).alias("adc"))
     )
+
+
+def ivfpq_build(
+    df: DataFrame, coarse: DataFrame, m: int = 4, k_sub: int = 8,
+    iters: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-PQ index build (the FAISS production composite): assign every
+    vector to its nearest coarse centroid (L2), subtract it, and
+    product-quantize the RESIDUAL — residuals are small and centered so
+    the same per-subspace codebook budget buys far less quantization
+    error than PQ on raw vectors. Returns (codebook, index) where index
+    is (id, cell, codes).
+
+    Scale shape: the residual is a zip_with column expression fused into
+    the assignment pass (no second scan); codebook training and encoding
+    are the existing pq_train/pq_encode plans over the residual frame —
+    raw vectors still never shuffle."""
+    assigned = ivf_assign(df, coarse, id_col, vec_col, metric="l2")
+    resid = (
+        assigned.join(
+            F.broadcast(coarse.withColumnRenamed("cid", "cell")),
+            assigned["cid"] == F.col("cell"),
+        )
+        .select(
+            id_col,
+            F.col("cid").alias("cell"),
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("cemb"),
+                lambda x, c: x - c,
+            ).alias("resid"),
+        )
+    )
+    book = pq_train(resid, m=m, k_sub=k_sub, iters=iters,
+                    id_col=id_col, vec_col="resid")
+    codes = pq_encode(resid, book, m=m, id_col=id_col, vec_col="resid")
+    index = codes.join(resid.select(id_col, "cell"), id_col)
+    return book, index
+
+
+def ivfpq_search(
+    index: DataFrame, book: DataFrame, coarse: DataFrame, query: DataFrame,
+    k: int = 10, m: int = 4, n_probe: int = 1, id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ ADC search: probe the ``n_probe`` nearest coarse cells and
+    rank their members by cell_dist-corrected ADC over RESIDUAL codes —
+    dist2(q, x) ~ dist2(q - c_cell, resid_codes). Only probed cells'
+    code rows are touched (cell-pruned scan: the filter is a join
+    against the probed-cell list, pushable to a cell-partitioned index
+    table at scale); per-(cell, sub, cid) LUT rows are
+    n_probe * m * k_sub — broadcast."""
+    q = query.select(F.col("qv").cast("array<double>").alias("qv"))
+    cd = dist2(F.col("qv"), F.col("cemb"))
+    probed = (
+        coarse.crossJoin(F.broadcast(q))
+        .select(F.col("cid").alias("cell"), cd.alias("_cd"), "cemb", "qv")
+        .orderBy(F.asc("_cd"), F.asc("cell"))
+        .limit(n_probe)
+    )
+    # residual query per probed cell: q - c_cell
+    qres = probed.select(
+        "cell",
+        F.zip_with("qv", "cemb", lambda x, c: x - c).alias("qres"),
+    )
+    d_sub = F.size(F.col("cemb"))
+    lut = (
+        book.crossJoin(F.broadcast(qres))
+        .select(
+            "cell", "sub", "cid",
+            dist2(
+                F.slice(F.col("qres"), F.col("sub") * d_sub + 1, d_sub),
+                F.col("cemb"),
+            ).alias("ld"),
+        )
+    )
+    triples = index.join(
+        F.broadcast(qres.select("cell")), "cell"
+    ).select(id_col, "cell", F.posexplode("codes").alias("sub", "code"))
+    scored = (
+        triples.join(
+            F.broadcast(lut),
+            (triples["cell"] == lut["cell"])
+            & (triples["sub"] == lut["sub"])
+            & (triples["code"] == lut["cid"]),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("ld").alias("adc_raw"))
+    )
+    return (
+        scored.orderBy(F.asc("adc_raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("adc_raw", 5).alias("adc"))
+    )

@@ -279,3 +279,34 @@ def test_pq_deterministic_across_partitionings(spark):
             sorted((r["vec_id"], tuple(r["codes"])) for r in codes.collect())
         )
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_ivfpq_residual_beats_raw_pq(spark):
+    """The reason IVF-PQ exists: quantizing RESIDUALS (vector minus its
+    coarse centroid) at the same code budget reconstructs distances more
+    accurately than PQ on raw vectors — the query's own row must come
+    back with a strictly smaller self-ADC, and the probed search must
+    still place it first."""
+    from pyspark.sql import functions as F
+
+    from ai_textbook_processor_spark.operators.similarity import (
+        ivfpq_build, ivfpq_search, kmeans_fit, pq_encode, pq_search, pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+
+    book_raw = pq_train(emb, m=4, k_sub=8, iters=2)
+    codes_raw = pq_encode(emb, book_raw, m=4)
+    raw_top = pq_search(codes_raw, book_raw, q, k=1, m=4).first()
+
+    seeds = emb.where(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        (F.col("vec_id") - 1).alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cemb"),
+    )
+    coarse = kmeans_fit(emb, seeds, iters=2, metric="l2")
+    book, index = ivfpq_build(emb, coarse, m=4, k_sub=8, iters=2)
+    pq_top = ivfpq_search(index, book, coarse, q, k=1, m=4, n_probe=4).first()
+
+    assert raw_top["vec_id"] == 7 and pq_top["vec_id"] == 7
+    assert pq_top["adc"] < raw_top["adc"], (pq_top["adc"], raw_top["adc"])
