@@ -55,29 +55,48 @@ class LocalTable:
 
     # -- write --------------------------------------------------------------
 
-    def append(self, df: DataFrame, commit_id: str | None = None,
-               meta: dict | None = None) -> str:
-        """Atomic, idempotent append. Returns the commit id."""
-        commit_id = commit_id or uuid.uuid4().hex[:12]
-        if os.path.exists(self._manifest_path(commit_id)):
-            return commit_id  # already committed: exactly-once no-op
-
+    def _write_files(self, df: DataFrame, commit_id: str) -> list[str]:
         staging = os.path.join(self.dir, f"_staging-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(staging)
         files = []
         for fn in os.listdir(staging):
             if fn.endswith(".parquet"):
                 dst = f"{commit_id}-{fn}"
-                shutil.move(os.path.join(staging, fn), os.path.join(self.data_dir, dst))
+                shutil.move(
+                    os.path.join(staging, fn), os.path.join(self.data_dir, dst)
+                )
                 files.append(dst)
         shutil.rmtree(staging, ignore_errors=True)
+        return files
 
-        manifest = {"commit_id": commit_id, "files": sorted(files), "meta": meta or {}}
+    def _commit(self, commit_id: str, files: list[str],
+                replaces: list[str] | None = None,
+                meta: dict | None = None) -> str:
+        manifest = {
+            "commit_id": commit_id,
+            # snapshot SEQUENCE (Iceberg's sequence-number analog): commit
+            # ids are caller-chosen strings, so filename order is not
+            # temporal order — the seq field is what time travel and
+            # replaces-resolution sort by
+            "seq": len(self.manifests()),
+            "files": sorted(files),
+            "replaces": sorted(replaces or []),
+            "meta": meta or {},
+        }
         tmp = self._manifest_path(commit_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(commit_id))  # the atomic commit
         return commit_id
+
+    def append(self, df: DataFrame, commit_id: str | None = None,
+               meta: dict | None = None) -> str:
+        """Atomic, idempotent append. Returns the commit id."""
+        commit_id = commit_id or uuid.uuid4().hex[:12]
+        if os.path.exists(self._manifest_path(commit_id)):
+            return commit_id  # already committed: exactly-once no-op
+        files = self._write_files(df, commit_id)
+        return self._commit(commit_id, files, meta=meta)
 
     def merge(self, source: DataFrame, key: str,
               commit_id: str | None = None, meta: dict | None = None) -> str:
@@ -109,41 +128,53 @@ class LocalTable:
             else source
         )
 
-        staging = os.path.join(self.dir, f"_staging-{uuid.uuid4().hex[:8]}")
-        merged.write.mode("overwrite").parquet(staging)
-        files = []
-        for fn in os.listdir(staging):
-            if fn.endswith(".parquet"):
-                dst = f"{commit_id}-{fn}"
-                shutil.move(
-                    os.path.join(staging, fn), os.path.join(self.data_dir, dst)
-                )
-                files.append(dst)
-        shutil.rmtree(staging, ignore_errors=True)
+        files = self._write_files(merged, commit_id)
+        return self._commit(commit_id, files, replaces=replaces, meta=meta)
 
-        manifest = {
-            "commit_id": commit_id,
-            "files": sorted(files),
-            "replaces": replaces,
-            "meta": meta or {},
-        }
-        tmp = self._manifest_path(commit_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(commit_id))
-        return commit_id
+    def compact(self, spark: SparkSession, commit_id: str | None = None,
+                target_partitions: int = 1, meta: dict | None = None) -> str:
+        """Small-file compaction (Iceberg rewrite_data_files): rewrite the
+        CURRENT snapshot's rows into ``target_partitions`` files and
+        commit with every live commit in ``replaces`` — readers flip from
+        many small files to the compacted set in one manifest rename,
+        with byte-identical table contents (regression-tested). Streaming
+        ingest and per-bucket-group checkpoint commits both produce
+        file-per-commit layouts; at 100 TB compaction is the maintenance
+        job that keeps scan task counts sane. Idempotent by commit id."""
+        commit_id = commit_id or uuid.uuid4().hex[:12]
+        if os.path.exists(self._manifest_path(commit_id)):
+            return commit_id
+        current = self.read(spark)
+        if current is None:
+            raise ValueError("cannot compact an empty table")
+        replaces = sorted(self.committed_ids())
+        files = self._write_files(current.coalesce(target_partitions), commit_id)
+        return self._commit(commit_id, files, replaces=replaces, meta=meta)
 
     # -- read ---------------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        manifests = self.manifests()
-        replaced = {
-            cid for m in manifests for cid in m.get("replaces", ())
-        }
+    def _live_manifests(self, as_of: str | None = None) -> list[dict]:
+        manifests = sorted(self.manifests(), key=lambda m: m.get("seq", 0))
+        if as_of is not None:
+            cut = next(
+                (m.get("seq", 0) for m in manifests if m["commit_id"] == as_of),
+                None,
+            )
+            if cut is None:
+                raise ValueError(f"unknown commit id {as_of!r}")
+            manifests = [m for m in manifests if m.get("seq", 0) <= cut]
+        replaced = {cid for m in manifests for cid in m.get("replaces", ())}
+        return [m for m in manifests if m["commit_id"] not in replaced]
+
+    def read(self, spark: SparkSession,
+             as_of: str | None = None) -> DataFrame | None:
+        """Current snapshot, or TIME TRAVEL with ``as_of=commit_id``: the
+        table exactly as it stood when that commit landed (manifests with
+        a later sequence number — including later merges' replaces — are
+        ignored). The Iceberg ``VERSION AS OF`` analog."""
         paths = [
             os.path.join(self.data_dir, fn)
-            for m in manifests
-            if m["commit_id"] not in replaced
+            for m in self._live_manifests(as_of)
             for fn in m["files"]
         ]
         if not paths:

@@ -252,3 +252,55 @@ def test_merge_upsert_snapshot_semantics(spark, tmp_path):
     # a row count proves no duplicate keys survive anywhere
     n = tbl.read(spark).count()
     assert n == 12
+
+
+def test_time_travel_and_compaction(spark, tmp_path):
+    """Snapshot sequence semantics: read(as_of=...) reconstructs the table
+    exactly as of any commit (appends and merges included); compaction
+    rewrites the live snapshot into one file set with byte-identical
+    contents and a single live manifest — and time travel still works
+    across it for pre-compaction commits? No: compaction REPLACES prior
+    commits in the live view, but as_of a pre-compaction commit ignores
+    the later compaction manifest, so history stays readable."""
+    from ai_textbook_processor_spark.sources.io_catalog import Catalog
+
+    tbl = Catalog(str(tmp_path)).table("t")
+    tbl.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        commit_id="c1",
+    )
+    tbl.append(
+        spark.createDataFrame([(3, "c")], "k long, v string"), commit_id="c2"
+    )
+    tbl.merge(
+        spark.createDataFrame([(2, "b2"), (4, "d")], "k long, v string"),
+        key="k",
+        commit_id="m1",
+    )
+
+    def state(as_of=None):
+        return {
+            r["k"]: r["v"] for r in tbl.read(spark, as_of=as_of).collect()
+        }
+
+    assert state("c1") == {1: "a", 2: "b"}
+    assert state("c2") == {1: "a", 2: "b", 3: "c"}
+    assert state("m1") == {1: "a", 2: "b2", 3: "c", 4: "d"}
+    assert state() == state("m1")
+
+    before = state()
+    tbl.compact(spark, commit_id="compact1")
+    assert state() == before, "compaction must not change table contents"
+    live = tbl._live_manifests()
+    assert len(live) == 1 and live[0]["commit_id"] == "compact1"
+    assert len(live[0]["files"]) == 1  # coalesced
+    # history before the compaction is still reachable
+    assert state("c2") == {1: "a", 2: "b", 3: "c"}
+    # idempotent retry
+    tbl.compact(spark, commit_id="compact1")
+    assert state() == before
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tbl.read(spark, as_of="nope")
