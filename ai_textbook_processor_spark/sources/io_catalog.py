@@ -202,7 +202,37 @@ class IcebergTable:
         )
         return str(snap[0][0]) if snap else (commit_id or "")
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def merge(self, source: DataFrame, key: str,
+              commit_id: str | None = None, meta: dict | None = None) -> str:
+        """Native MERGE INTO (same semantics as LocalTable.merge: matched
+        keys replaced whole-row, unmatched inserted). Requires the
+        Iceberg runtime jar; exercised via the jar-gated integration
+        test."""
+        source.createOrReplaceTempView("_merge_src")
+        self.spark.sql(
+            f"MERGE INTO {self.identifier} t USING _merge_src s "
+            f"ON t.{key} = s.{key} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return commit_id or ""
+
+    def compact(self, spark: SparkSession, commit_id: str | None = None,
+                target_partitions: int = 1, meta: dict | None = None) -> str:
+        """Native maintenance: Iceberg's rewrite_data_files procedure."""
+        catalog, _, _ = self.identifier.partition(".")
+        spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files(table => "
+            f"'{self.identifier}')"
+        )
+        return commit_id or ""
+
+    def read(self, spark: SparkSession,
+             as_of: str | None = None) -> DataFrame:
+        if as_of is not None:
+            return spark.read.option("snapshot-id", as_of).table(
+                self.identifier
+            )
         return spark.read.table(self.identifier)
 
 

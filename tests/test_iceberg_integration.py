@@ -63,3 +63,25 @@ def test_append_and_snapshot_lineage(iceberg_spark):
     # snapshot log carries the full commit lineage
     snaps = spark.sql("SELECT snapshot_id FROM it.db.docs.snapshots").collect()
     assert {str(r[0]) for r in snaps} >= {snap1, snap2}
+
+
+def test_merge_and_time_travel(iceberg_spark):
+    """Native-path parity for the r4 LocalTable features: MERGE INTO
+    upsert semantics and snapshot-id time travel (jar-gated like the
+    append test)."""
+    spark = iceberg_spark
+    spark.sql("CREATE TABLE it.db.m (k long, v string) USING iceberg")
+    tbl = IcebergTable(spark, "it.db.m")
+
+    snap1 = tbl.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    tbl.merge(
+        spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string"),
+        key="k",
+    )
+    state = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    assert state == {1: "a", 2: "b2", 3: "c"}
+    # time travel to the pre-merge snapshot
+    old = {r["k"]: r["v"] for r in tbl.read(spark, as_of=snap1).collect()}
+    assert old == {1: "a", 2: "b"}
