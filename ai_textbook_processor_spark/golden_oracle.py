@@ -659,6 +659,47 @@ def s6png_oracle(sf_dir: str) -> str:
     )
 
 
+def s6jpeg_oracle(sf_dir: str) -> str:
+    """Pure twin of harness.s6_jpeg_features (codec itself pinned by the
+    hand-assembled T.81 goldens in tests/test_jpeg.py)."""
+    import numpy as np
+
+    from .operators.multimodal import image_features_payload, pack_jpeg_asset
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pydict()
+    lits = []
+    for doc_id, n_chars in zip(t["doc_id"], t["n_chars"]):
+        if doc_id >= 30:
+            continue
+        aid = str(doc_id)
+        content = pack_jpeg_asset(aid, int(n_chars))
+        d = image_features_payload(content)
+        feat_sum = 0.0
+        for v in d["feature"]:
+            feat_sum += float(np.float32(v))
+        lits.append(
+            (
+                _sql_str(aid),
+                f"CAST({d['width']} AS INTEGER)",
+                f"CAST({d['height']} AS INTEGER)",
+                f"CAST({d['out_width']} AS INTEGER)",
+                f"CAST({d['out_height']} AS INTEGER)",
+                f"CAST({len(content)} AS INTEGER)",
+                _sql_str(d["sample_b64"]),
+                f"CAST({_round_half_up(feat_sum, 4)!r} AS DOUBLE)",
+            )
+        )
+    return _values_sql(
+        lits,
+        [
+            "asset_id", "width", "height", "out_width", "out_height",
+            "byte_len", "sample_b64", "feat_sum",
+        ],
+    )
+
+
 def mm_video_oracle(sf_dir: str) -> str:
     """Pure twin of harness.mm_video_frames (shared pack/sample kernels
     driven without Spark)."""
@@ -734,6 +775,7 @@ def literal_oracles(sf_dir: str) -> dict[str, str]:
         "s4_audio_transcribe": s4_oracle(sf_dir),
         "s6_image_features": s6_oracle(sf_dir),
         "s6_png_features": s6png_oracle(sf_dir),
+        "s6_jpeg_features": s6jpeg_oracle(sf_dir),
         "sim_pq_topk": pq_topk_oracle(sf_dir),
         "sim_ivfpq_topk": ivfpq_topk_oracle(sf_dir),
         "sim_pq_recall": pq_recall_oracle(sf_dir),

@@ -3384,6 +3384,61 @@ def s6_png_features(spark, sf_dir):
     )
 
 
+@query("s6_jpeg_features")  # literal oracle via golden_oracle.py
+def s6_jpeg_features(spark, sf_dir):
+    """REAL baseline-JPEG pixels end-to-end (r4: functions/jpeg.py — pure
+    T.81 decoder, conformance-pinned by hand-assembled bitstream goldens
+    in test_jpeg.py): deterministic actual-JPEG assets (smooth gradients;
+    gray / 4:4:4 / 4:2:0 rotating; every 7th oversized) -> Huffman decode,
+    dequant, exact-matrix IDCT, chroma upsample, YCbCr->RGB, then the same
+    aspect-fit + luminance-grid feature pipeline as PNG. The literal
+    oracle recomputes every value in pure Python."""
+    import pandas as pd
+
+    from .operators.multimodal import (
+        ASSET_SCHEMA,
+        extract_asset_features,
+        pack_jpeg_asset,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30).select(
+        F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": [
+                        pack_jpeg_asset(a, int(n))
+                        for a, n in zip(pdf["asset_id"], pdf["n_chars"])
+                    ],
+                    "media_type": ["image/jpeg"] * len(pdf),
+                    "width": [None] * len(pdf),
+                    "height": [None] * len(pdf),
+                }
+            )
+
+    assets = d.mapInPandas(mk, ASSET_SCHEMA)
+    feats = extract_asset_features(assets)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        "byte_len",
+        "sample_b64",
+        F.round(
+            F.aggregate(
+                "feature", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("feat_sum"),
+    )
+
+
 @query("mm_video_frames")  # literal oracle via golden_oracle.py
 def mm_video_frames(spark, sf_dir):
     """Video modality end-to-end (task brief: image/audio/video as opaque

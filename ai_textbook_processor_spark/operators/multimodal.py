@@ -132,6 +132,59 @@ def png_features_payload(content: bytes) -> dict:
     }
 
 
+def jpeg_features_payload(content: bytes) -> dict:
+    """REAL pixel path for baseline JPEG (r4: functions/jpeg.py — pure
+    Python T.81 baseline decoder, conformance-pinned by hand-assembled
+    bitstream goldens): decode -> RGB normalize -> aspect-fit ->
+    area-average downscale -> 4x4 luminance-grid features, identical
+    post-pipeline to PNG. Out-of-profile JPEGs (progressive, 12-bit)
+    raise JpegUnsupported (a NotImplementedError) into the quarantine
+    channel."""
+    from ..functions.jpeg import decode_jpeg
+    from ..functions.png import (
+        flatten_to_rgb,
+        luminance_grid_features,
+        resize_box,
+    )
+
+    w, h, ch, px = decode_jpeg(content)
+    rgb = flatten_to_rgb(px, ch)
+    ow, oh = fit_within(w, h)
+    resized = resize_box(rgb, w, h, ow, oh)
+    return {
+        "width": w, "height": h,
+        "out_width": ow, "out_height": oh,
+        "sample_b64": base64.b64encode(content[:24]).decode(),
+        "feature": luminance_grid_features(resized, ow, oh),
+    }
+
+
+def pack_jpeg_asset(asset_id: str, n_chars: int) -> bytes:
+    """Deterministic REAL JPEG fixture: smooth gradient pixels seeded by
+    the asset id, rotating gray / 4:4:4 / 4:2:0 layouts, every 7th
+    oversized for the downscale path. Pure function shared by the
+    harness query and the literal oracle."""
+    import numpy as np
+
+    from ..functions.jpeg import encode_jpeg
+
+    seed = int.from_bytes(hashlib.md5(asset_id.encode()).digest()[4:8], "big")
+    mode = seed % 3  # 0 gray, 1 color 4:4:4, 2 color 4:2:0
+    if seed % 7 == 0:
+        w, h = 820 + seed % 120, 600 + seed % 100
+    else:
+        w, h = 24 + n_chars % 40, 18 + (n_chars * 3) % 30
+    ys = np.arange(h, dtype=np.float64)[:, None]
+    xs = np.arange(w, dtype=np.float64)[None, :]
+    base = (ys * 2.0 + xs * 3.0 + seed % 97) % 200 + 28
+    if mode == 0:
+        px = base.astype(np.uint8).tobytes()
+        return encode_jpeg(px, w, h, 1)
+    planes = [base, (base + 40) % 200 + 28, (base + 90) % 200 + 28]
+    px = np.stack(planes, axis=-1).astype(np.uint8).tobytes()
+    return encode_jpeg(px, w, h, 3, subsample=(mode == 2))
+
+
 def pack_png_asset(asset_id: str, n_chars: int) -> bytes:
     """Deterministic REAL PNG fixture: gradient pixels seeded by the asset
     id, rotating through RGB / RGBA (exercises the white-composite) / gray
@@ -168,6 +221,8 @@ def image_features_payload(content: bytes) -> dict:
 
     if content is not None and content[:8] == PNG_MAGIC:
         return png_features_payload(content)
+    if content is not None and content[:2] == b"\xff\xd8":
+        return jpeg_features_payload(content)
     w, h, c = parse_header(content)
     ow, oh = fit_within(w, h)
     payload = content[9:]

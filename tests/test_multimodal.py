@@ -53,7 +53,9 @@ def test_spark_feature_extraction(spark):
     assert len(ok["feature"]) == 16 and all(0.0 <= v <= 1.0 for v in ok["feature"])
     assert ok["sample_b64"] and ok["error"] is None
     assert out["img-1"]["out_width"] == 320  # no upscale
-    assert out["bad-0"]["error"] and "codec" in out["bad-0"]["error"]
+    # r4: FFD8 bytes now route to the REAL baseline-JPEG decoder;
+    # a stream with no scan still quarantines, message from jpeg.py
+    assert out["bad-0"]["error"] and "SOS" in out["bad-0"]["error"]
     assert out["nil-0"]["error"] is not None
 
     # determinism across partitionings
