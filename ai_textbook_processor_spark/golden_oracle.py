@@ -700,6 +700,45 @@ def s6jpeg_oracle(sf_dir: str) -> str:
     )
 
 
+def s6reenc_oracle(sf_dir: str) -> str:
+    """Pure twin of harness.s6_reencode_chain."""
+    from .operators.multimodal import (
+        image_reencode_payload,
+        pack_jpeg_asset,
+        pack_png_asset,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pydict()
+    lits = []
+    for doc_id, n_chars in zip(t["doc_id"], t["n_chars"]):
+        if doc_id >= 20:
+            continue
+        aid = str(doc_id)
+        content = (
+            pack_png_asset(aid, int(n_chars))
+            if doc_id % 2 == 0
+            else pack_jpeg_asset(aid, int(n_chars))
+        )
+        d = image_reencode_payload(content)
+        lits.append(
+            (
+                _sql_str(aid),
+                f"CAST({d['out_width']} AS BIGINT)",
+                f"CAST({d['out_height']} AS BIGINT)",
+                f"CAST({d['jpeg_bytes']} AS BIGINT)",
+                _sql_str(d["jpeg_md5"]),
+                f"CAST({d['b64_len']} AS BIGINT)",
+            )
+        )
+    return _values_sql(
+        lits,
+        ["asset_id", "out_width", "out_height", "jpeg_bytes", "jpeg_md5",
+         "b64_len"],
+    )
+
+
 def mm_video_oracle(sf_dir: str) -> str:
     """Pure twin of harness.mm_video_frames (shared pack/sample kernels
     driven without Spark)."""
@@ -776,6 +815,7 @@ def literal_oracles(sf_dir: str) -> dict[str, str]:
         "s6_image_features": s6_oracle(sf_dir),
         "s6_png_features": s6png_oracle(sf_dir),
         "s6_jpeg_features": s6jpeg_oracle(sf_dir),
+        "s6_reencode_chain": s6reenc_oracle(sf_dir),
         "sim_pq_topk": pq_topk_oracle(sf_dir),
         "sim_ivfpq_topk": ivfpq_topk_oracle(sf_dir),
         "sim_pq_recall": pq_recall_oracle(sf_dir),

@@ -3439,6 +3439,57 @@ def s6_jpeg_features(spark, sf_dir):
     )
 
 
+@query("s6_reencode_chain")  # literal oracle via golden_oracle.py
+def s6_reencode_chain(spark, sf_dir):
+    """The reference's full image preprocessing chain end to end
+    (utils/utility.py:35-64): decode real PNG/JPEG assets -> flatten ->
+    aspect-fit -> downscale -> RE-ENCODE as baseline JPEG -> base64.
+    jpeg_md5 fingerprints the exact re-encoded bytes, so the oracle match
+    proves every pixel and every entropy-coded bit is reproduced
+    deterministically across engines — mixing PNG inputs (even ids) and
+    JPEG inputs (odd ids) through one mapInPandas stage."""
+    import pandas as pd
+
+    from .operators.multimodal import (
+        image_reencode_payload,
+        pack_jpeg_asset,
+        pack_png_asset,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20).select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        "doc_id",
+        "n_chars",
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                content = (
+                    pack_png_asset(rec.asset_id, int(rec.n_chars))
+                    if int(rec.doc_id) % 2 == 0
+                    else pack_jpeg_asset(rec.asset_id, int(rec.n_chars))
+                )
+                out = {"asset_id": rec.asset_id}
+                out.update(image_reencode_payload(content))
+                rows.append(out)
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "asset_id string, out_width int, out_height int, "
+        "jpeg_bytes int, jpeg_md5 string, b64_len int"
+    )
+    return d.mapInPandas(run, schema).select(
+        "asset_id",
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+        F.col("jpeg_bytes").cast("long").alias("jpeg_bytes"),
+        "jpeg_md5",
+        F.col("b64_len").cast("long").alias("b64_len"),
+    )
+
+
 @query("mm_video_frames")  # literal oracle via golden_oracle.py
 def mm_video_frames(spark, sf_dir):
     """Video modality end-to-end (task brief: image/audio/video as opaque

@@ -159,6 +159,43 @@ def jpeg_features_payload(content: bytes) -> dict:
     }
 
 
+def image_reencode_payload(content: bytes) -> dict:
+    """The reference's COMPLETE image preprocessing chain
+    (utils/utility.py:35-64), now real end to end: decode (PNG or
+    baseline JPEG) -> alpha-flatten on white -> aspect-fit <=800x800 ->
+    area-average downscale -> re-encode as baseline 4:4:4 JPEG ->
+    base64. Returns the re-encoded artifact's dimensions, byte length,
+    and md5 (the oracle-friendly fingerprint of the exact output
+    bytes); the b64 payload itself is what a vision-LLM request would
+    carry."""
+    import base64 as _b64
+    import hashlib as _hl
+
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.png import PNG_MAGIC, flatten_to_rgb, resize_box
+
+    if content is not None and content[:8] == PNG_MAGIC:
+        from ..functions.png import decode_png as _dec
+    elif content is not None and content[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg as _dec
+    else:
+        raise NotImplementedError(
+            "re-encode supports PNG and baseline JPEG inputs"
+        )
+    w, h, ch, px = _dec(content)
+    rgb = flatten_to_rgb(px, ch)
+    ow, oh = fit_within(w, h)
+    resized = resize_box(rgb, w, h, ow, oh)
+    jpg = encode_jpeg(resized, ow, oh, 3)
+    return {
+        "out_width": ow,
+        "out_height": oh,
+        "jpeg_bytes": len(jpg),
+        "jpeg_md5": _hl.md5(jpg).hexdigest(),
+        "b64_len": len(_b64.b64encode(jpg)),
+    }
+
+
 def pack_jpeg_asset(asset_id: str, n_chars: int) -> bytes:
     """Deterministic REAL JPEG fixture: smooth gradient pixels seeded by
     the asset id, rotating gray / 4:4:4 / 4:2:0 layouts, every 7th
