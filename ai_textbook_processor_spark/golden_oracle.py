@@ -659,6 +659,35 @@ def s6png_oracle(sf_dir: str) -> str:
     )
 
 
+def s4wav_oracle(sf_dir: str) -> str:
+    """Pure twin of harness.s4_wav_transcribe (the WAV parser itself is
+    pinned by roundtrip + downmix tests in test_audio.py)."""
+    from .operators.multimodal import pack_wav_asset, transcribe_payload
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pydict()
+    lits = []
+    for doc_id, n_chars in zip(t["doc_id"], t["n_chars"]):
+        if doc_id >= 30:
+            continue
+        aid = str(doc_id)
+        rate, dur, segs = transcribe_payload(pack_wav_asset(aid, int(n_chars)))
+        lits.append(
+            (
+                _sql_str(aid),
+                f"CAST({rate} AS BIGINT)",
+                f"CAST({dur} AS BIGINT)",
+                f"CAST({len(segs)} AS BIGINT)",
+                _sql_str(" ".join(s["token"] for s in segs)),
+            )
+        )
+    return _values_sql(
+        lits,
+        ["asset_id", "sample_rate", "duration_ms", "n_segments", "transcript"],
+    )
+
+
 def s6jpeg_oracle(sf_dir: str) -> str:
     """Pure twin of harness.s6_jpeg_features (codec itself pinned by the
     hand-assembled T.81 goldens in tests/test_jpeg.py)."""
@@ -812,6 +841,7 @@ def literal_oracles(sf_dir: str) -> dict[str, str]:
         "tp1_clean_corpus_funnel": tp1_oracle(sf_dir),
         "tp2_full_pipeline": tp2_oracle(sf_dir),
         "s4_audio_transcribe": s4_oracle(sf_dir),
+        "s4_wav_transcribe": s4wav_oracle(sf_dir),
         "s6_image_features": s6_oracle(sf_dir),
         "s6_png_features": s6png_oracle(sf_dir),
         "s6_jpeg_features": s6jpeg_oracle(sf_dir),

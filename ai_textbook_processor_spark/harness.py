@@ -3328,6 +3328,45 @@ def s6_image_features(spark, sf_dir):
     )
 
 
+@query("s4_wav_transcribe")  # literal oracle via golden_oracle.py
+def s4_wav_transcribe(spark, sf_dir):
+    """REAL RIFF/WAV audio end-to-end (r4): deterministic sum-of-sines
+    16-bit PCM assets (mono/stereo rotating; stereo downmixed) -> actual
+    sample decode -> 1 s energy segmentation -> Whisper-shaped segment
+    rows + transcript, through the same mapInPandas stage as ATPA. The
+    literal oracle recomputes transcripts from the same pure kernels;
+    compressed audio (mp3/aac) stays behind the quarantine seam."""
+    import pandas as pd
+
+    from .operators.multimodal import pack_wav_asset, transcribe_assets
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30).select(
+        F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": [
+                        pack_wav_asset(a, int(n))
+                        for a, n in zip(pdf["asset_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(mk, "asset_id string, content binary")
+    t = transcribe_assets(assets)
+    return t.select(
+        "asset_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.size("segments").cast("long").alias("n_segments"),
+        "transcript",
+    )
+
+
 @query("s6_png_features")  # literal oracle via golden_oracle.py
 def s6_png_features(spark, sf_dir):
     """REAL PNG pixels end-to-end (r3 VERDICT #3): deterministic actual-PNG

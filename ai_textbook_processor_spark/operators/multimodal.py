@@ -347,11 +347,93 @@ def pack_audio(asset_id: str, sample_rate: int = 16000, n_samples: int = 48000) 
 def parse_audio_header(content: bytes) -> tuple[int, int]:
     if content is None or len(content) < 12 or content[:4] != _AUDIO_MAGIC:
         raise NotImplementedError(
-            "audio codecs / speech models not available in this environment; "
-            "only the in-repo synthetic ATPA format is decodable"
+            "audio decode supports RIFF/WAV PCM and the in-repo synthetic "
+            "ATPA format; speech models and compressed codecs (mp3/aac) "
+            "stay behind this seam"
         )
     rate, n_samples = struct.unpack(">II", content[4:12])
     return rate, n_samples
+
+
+def decode_wav(content: bytes) -> tuple[int, int, list[int]]:
+    """REAL RIFF/WAVE parser (r4, stdlib struct only): 16-bit PCM, mono
+    or stereo (stereo downmixed by integer mean). Returns (sample_rate,
+    n_samples, samples) with samples as signed 16-bit ints. Compressed
+    formats (ADPCM, float, mp3-in-wav) raise NotImplementedError into
+    the quarantine channel."""
+    if content is None or len(content) < 12 or content[:4] != b"RIFF" \
+            or content[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE byte stream")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise NotImplementedError("truncated fmt chunk")
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"WAV format {audio_fmt}: only PCM (1)"
+                )
+            if bits != 16:
+                raise NotImplementedError(f"{bits}-bit WAV: only 16-bit PCM")
+            if n_ch not in (1, 2):
+                raise NotImplementedError(f"{n_ch}-channel WAV")
+            fmt = (n_ch, rate)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("missing fmt/data chunk")
+    n_ch, rate = fmt
+    raw = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    if n_ch == 2:
+        raw = [ (raw[i] + raw[i + 1]) // 2 for i in range(0, len(raw) - 1, 2) ]
+    return rate, len(raw), list(raw)
+
+
+def encode_wav(samples: list[int], rate: int = 16000,
+               channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer (16-bit PCM) for building real-WAV
+    fixtures."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def pack_wav_asset(asset_id: str, n_chars: int) -> bytes:
+    """Deterministic REAL WAV fixture: a seeded sum-of-sines 16-bit PCM
+    signal, 1-5 s at 8 kHz, mono or stereo rotating by seed. Pure
+    function shared by the harness query and the literal oracle."""
+    import math
+
+    seed = int.from_bytes(hashlib.md5(asset_id.encode()).digest()[8:12], "big")
+    rate = 8000
+    secs = 1 + n_chars % 5
+    stereo = seed % 2 == 1
+    f1, f2 = 110 + seed % 500, 700 + seed % 900
+    amp = 4000 + seed % 8000
+    samples = []
+    for i in range(rate * secs):
+        v = int(
+            amp * math.sin(2 * math.pi * f1 * i / rate)
+            + 0.5 * amp * math.sin(2 * math.pi * f2 * i / rate)
+        )
+        v = max(-32768, min(32767, v))
+        if stereo:
+            samples += [v, v // 2]
+        else:
+            samples.append(v)
+    return encode_wav(samples, rate, 2 if stereo else 1)
 
 
 AUDIO_SEGMENT_TYPE = T.StructType(
@@ -375,8 +457,28 @@ TRANSCRIPT_SCHEMA = T.StructType(
 
 def transcribe_payload(content: bytes) -> tuple[int, int, list[dict]]:
     """Deterministic 'transcription': fixed 1 s segmentation; each segment's
-    token is chosen by the energy of its byte window (pure function of the
-    payload — the Whisper-shaped seam a real model would fill)."""
+    token is chosen by the energy of its window (pure function of the
+    payload — the Whisper-shaped seam a real model would fill). RIFF/WAV
+    PCM input (r4) decodes REAL samples and segments on mean |amplitude|;
+    the synthetic ATPA payload keeps its byte-window path byte-identical."""
+    if content is not None and content[:4] == b"RIFF":
+        rate, n_samples, samples = decode_wav(content)
+        duration_ms = int(n_samples * 1000 / max(rate, 1))
+        n_segs = max(1, duration_ms // _SEGMENT_MS)
+        segs = []
+        for i in range(n_segs):
+            lo = i * n_samples // n_segs
+            hi = max(lo + 1, (i + 1) * n_samples // n_segs)
+            window = samples[lo:hi]
+            energy = sum(abs(v) for v in window) // max(len(window), 1)
+            segs.append(
+                {
+                    "start_ms": i * _SEGMENT_MS,
+                    "end_ms": min((i + 1) * _SEGMENT_MS, duration_ms),
+                    "token": _TOKENS[(energy >> 6) % len(_TOKENS)],
+                }
+            )
+        return rate, duration_ms, segs
     rate, n_samples = parse_audio_header(content)
     duration_ms = int(n_samples * 1000 / max(rate, 1))
     payload = content[12:]
