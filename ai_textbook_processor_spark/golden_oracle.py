@@ -688,6 +688,40 @@ def s4wav_oracle(sf_dir: str) -> str:
     )
 
 
+def mm_mjpeg_oracle(sf_dir: str) -> str:
+    """Pure twin of harness.mm_video_mjpeg (container + JPEG codec are
+    pinned by their own conformance tests)."""
+    from .operators.multimodal import pack_mjpeg_asset, video_frames_payload
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pydict()
+    lits = []
+    for doc_id, n_chars in zip(t["doc_id"], t["n_chars"]):
+        if doc_id >= 25:
+            continue
+        aid = str(doc_id)
+        d = video_frames_payload(pack_mjpeg_asset(aid, int(n_chars)))
+        for f in d["frames"]:
+            lits.append(
+                (
+                    _sql_str(aid),
+                    f"CAST({d['width']} AS BIGINT)",
+                    f"CAST({d['fps']} AS BIGINT)",
+                    f"CAST({d['n_frames']} AS BIGINT)",
+                    f"CAST({d['duration_ms']} AS BIGINT)",
+                    f"CAST({f['frame_idx']} AS BIGINT)",
+                    f"CAST({f['t_ms']} AS BIGINT)",
+                    f"CAST({_round_half_up(float(__import__('numpy').float64(f['feat_mean'])), 5)!r} AS DOUBLE)",
+                )
+            )
+    return _values_sql(
+        lits,
+        ["asset_id", "width", "fps", "n_frames", "duration_ms",
+         "frame_idx", "t_ms", "feat_mean"],
+    )
+
+
 def s6jpeg_oracle(sf_dir: str) -> str:
     """Pure twin of harness.s6_jpeg_features (codec itself pinned by the
     hand-assembled T.81 goldens in tests/test_jpeg.py)."""
@@ -850,4 +884,5 @@ def literal_oracles(sf_dir: str) -> dict[str, str]:
         "sim_ivfpq_topk": ivfpq_topk_oracle(sf_dir),
         "sim_pq_recall": pq_recall_oracle(sf_dir),
         "mm_video_frames": mm_video_oracle(sf_dir),
+        "mm_video_mjpeg": mm_mjpeg_oracle(sf_dir),
     }

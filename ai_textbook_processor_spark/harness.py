@@ -3367,6 +3367,51 @@ def s4_wav_transcribe(spark, sf_dir):
     )
 
 
+@query("mm_video_mjpeg")  # literal oracle via golden_oracle.py
+def mm_video_mjpeg(spark, sf_dir):
+    """REAL video end-to-end (r4): Motion-JPEG AVI assets — a real RIFF
+    container whose frames are real baseline JPEGs — parsed with the
+    stdlib container walker, k evenly spaced frames decoded with
+    functions/jpeg.py, per-frame mean luminance over ACTUAL pixels.
+    Same exploded per-frame view as the synthetic ATPV query; inter-frame
+    codecs (h264) stay behind the quarantine seam."""
+    import pandas as pd
+
+    from .operators.multimodal import pack_mjpeg_asset, sample_video_assets
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 25).select(
+        F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": [
+                        pack_mjpeg_asset(a, int(n))
+                        for a, n in zip(pdf["asset_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(mk, "asset_id string, content binary")
+    v = sample_video_assets(assets)
+    return v.select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("fps").cast("long").alias("fps"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.explode("frames").alias("f"),
+    ).select(
+        "asset_id", "width", "fps", "n_frames", "duration_ms",
+        F.col("f.frame_idx").cast("long").alias("frame_idx"),
+        F.col("f.t_ms").cast("long").alias("t_ms"),
+        F.round(F.col("f.feat_mean"), 5).alias("feat_mean"),
+    )
+
+
 @query("s6_png_features")  # literal oracle via golden_oracle.py
 def s6_png_features(spark, sf_dir):
     """REAL PNG pixels end-to-end (r3 VERDICT #3): deterministic actual-PNG

@@ -549,6 +549,149 @@ _VIDEO_MAGIC = b"ATPV"
 _VIDEO_SAMPLE_FRAMES = 4
 
 
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     fps: int = 24) -> bytes:
+    """Minimal RIFF/AVI writer for Motion-JPEG streams (each frame an
+    independent baseline JPEG — functions/jpeg.py encodes them), for
+    building real-video fixtures without a codec library."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # us per frame
+        0, 0, 0x10,                # rate, padding, flags (AVIF_HASINDEX off)
+        len(frames), 0, 1, 0,      # total frames, initial, streams, bufsize
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, max(fps, 1),            # scale, rate -> fps
+        0, len(frames), 0, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL RIFF/AVI parser (r4, stdlib struct only): walks the header
+    list for the 'vids' stream (fourcc must be MJPG — every frame an
+    independent JPEG our baseline decoder handles) and collects the movi
+    frame chunks. Returns (width, height, fps, frames). Inter-frame
+    codecs (h264 etc.) raise NotImplementedError into the quarantine
+    channel."""
+    if content is None or len(content) < 12 or content[:4] != b"RIFF" \
+            or content[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI byte stream")
+    width = height = fps = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height, fps, frames
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + clen]
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid == b"strh":
+                typ, fourcc = body[:4], body[4:8]
+                if typ == b"vids":
+                    if fourcc not in (b"MJPG", b"mjpg"):
+                        raise NotImplementedError(
+                            f"video codec {fourcc!r}: only Motion-JPEG"
+                        )
+                    scale, rate = struct.unpack("<II", body[20:28])
+                    fps = rate // max(scale, 1)
+            elif cid == b"strf" and len(body) >= 16 and width is None:
+                width, height = struct.unpack("<ii", body[4:12])
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(bytes(body))
+            pos += 8 + clen + (clen & 1)
+
+    walk(content[12:])
+    if width is None or fps is None:
+        raise NotImplementedError("missing AVI stream headers")
+    return int(width), int(abs(height)), int(fps), frames
+
+
+def pack_mjpeg_asset(asset_id: str, n_chars: int) -> bytes:
+    """Deterministic REAL Motion-JPEG AVI fixture: a handful of gradient
+    frames (each a real baseline JPEG) whose brightness pans with the
+    frame index. Pure function shared by the harness query and the
+    literal oracle."""
+    import numpy as np
+
+    from ..functions.jpeg import encode_jpeg
+
+    seed = int.from_bytes(hashlib.md5(asset_id.encode()).digest()[:4], "big")
+    w, h = 32 + seed % 48, 24 + seed % 40
+    fps = 12 + seed % 12
+    n_frames = 6 + n_chars % 10
+    ys = np.arange(h, dtype=np.float64)[:, None]
+    xs = np.arange(w, dtype=np.float64)[None, :]
+    frames = []
+    for fi in range(n_frames):
+        base = ((ys * 2 + xs * 3 + seed % 89 + fi * 11) % 180 + 38).astype(
+            np.uint8
+        )
+        frames.append(encode_jpeg(base.tobytes(), w, h, 1))
+    return encode_avi_mjpeg(frames, w, h, fps)
+
+
+def video_frames_payload_real(content: bytes) -> dict:
+    """REAL video path: AVI/MJPEG container parse -> k evenly spaced
+    frames -> per-frame baseline-JPEG decode -> mean-luminance feature
+    over the ACTUAL pixels. Same VIDEO_SCHEMA row shape as the synthetic
+    ATPV path."""
+    from ..functions.jpeg import decode_jpeg
+    from ..functions.png import flatten_to_rgb
+
+    w, h, fps, jpegs = decode_avi_mjpeg(content)
+    n_frames = len(jpegs)
+    duration_ms = int(n_frames * 1000 / max(fps, 1))
+    k = min(_VIDEO_SAMPLE_FRAMES, max(n_frames, 1))
+    idxs = [i * n_frames // k for i in range(k)]
+    frames = []
+    for fi in idxs:
+        fw, fh, ch, px = decode_jpeg(jpegs[fi])
+        rgb = flatten_to_rgb(px, ch)
+        lum = 0.0
+        total = fw * fh
+        # mean luminance (BT.601) of the real frame, normalized
+        for p in range(0, len(rgb), 3):
+            lum += rgb[p] * 0.299 + rgb[p + 1] * 0.587 + rgb[p + 2] * 0.114
+        frames.append(
+            {
+                "frame_idx": fi,
+                "t_ms": int(fi * 1000 / max(fps, 1)),
+                "feat_mean": (lum / (255.0 * max(total, 1))),
+            }
+        )
+    return {
+        "width": w, "height": h, "fps": fps, "n_frames": n_frames,
+        "duration_ms": duration_ms, "frames": frames,
+    }
+
+
 def pack_video(
     asset_id: str, width: int, height: int, fps: int = 24, n_frames: int = 240
 ) -> bytes:
@@ -579,7 +722,15 @@ def parse_video_header(content: bytes) -> tuple[int, int, int, int]:
 def video_frames_payload(content: bytes) -> dict:
     """Pure per-asset kernel (shared with the golden producer): header
     decode -> duration math -> k evenly spaced frame indices -> per-frame
-    byte-window mean feature."""
+    byte-window mean feature. RIFF/AVI Motion-JPEG input (r4) routes to
+    the REAL frame decoder (:func:`video_frames_payload_real`); other
+    real codecs (h264 etc.) stay behind the quarantine seam."""
+    if (
+        content is not None
+        and content[:4] == b"RIFF"
+        and content[8:12] == b"AVI "
+    ):
+        return video_frames_payload_real(content)
     w, h, fps, n_frames = parse_video_header(content)
     duration_ms = int(n_frames * 1000 / max(fps, 1))
     payload = content[12:]

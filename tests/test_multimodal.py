@@ -93,3 +93,54 @@ def test_video_frames_and_error_channel(spark):
     ]
     for bad in ("v2", "v3"):
         assert got[bad]["error"] is not None and got[bad]["frames"] is None
+
+
+def test_avi_mjpeg_container_roundtrip_and_quarantine(spark):
+    """Motion-JPEG AVI (r4): the container walker returns the embedded
+    JPEG frames byte-identically; frame sampling decodes REAL pixels;
+    an h264 fourcc quarantines."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from ai_textbook_processor_spark.functions.jpeg import encode_jpeg
+    from ai_textbook_processor_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        pack_mjpeg_asset,
+        sample_video_assets,
+        video_frames_payload,
+    )
+
+    frames = [
+        encode_jpeg(bytes([40 + 10 * i] * 64), 8, 8, 1) for i in range(5)
+    ]
+    avi = encode_avi_mjpeg(frames, 8, 8, fps=10)
+    w, h, fps, got = decode_avi_mjpeg(avi)
+    assert (w, h, fps) == (8, 8, 10)
+    assert got == frames  # byte-identical embedded JPEGs
+
+    d = video_frames_payload(avi)
+    assert d["n_frames"] == 5 and d["duration_ms"] == 500
+    # flat gray frames: real decoded luminance == the gray level / 255
+    for f in d["frames"]:
+        level = 40 + 10 * f["frame_idx"]
+        # JPEG DC quantization (q=16) rounds the level to the nearest
+        # multiple of 2 after the 128 shift: recompute from the codec
+        from ai_textbook_processor_spark.functions.jpeg import decode_jpeg
+
+        _, _, _, px = decode_jpeg(frames[f["frame_idx"]])
+        assert abs(f["feat_mean"] - px[0] / 255.0) < 1e-9
+
+    bad = avi.replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError):
+        decode_avi_mjpeg(bad)
+
+    rows = [("ok", pack_mjpeg_asset("ok", 99)), ("h264", bad)]
+    assets = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["asset_id", "content"])
+    )
+    out = {r["asset_id"]: r for r in sample_video_assets(assets).collect()}
+    assert out["ok"]["error"] is None and out["ok"]["n_frames"] > 0
+    assert out["h264"]["error"] is not None
