@@ -7,17 +7,20 @@ pages at dpi=150/q70 (``routes/route.py:118-125``). Here media are rows of
 an asset table ``(asset_id, content binary, media_type, width, height)``
 processed with ``mapInPandas`` over Arrow batches.
 
-The actual JPEG/PNG codec is NOT available in this container, so the
-decode step is split:
+No codec library ships in this container, so every decoder here is
+from-scratch pure Python (r3-r4):
 
-* REAL: Spark plumbing (schema, batch iteration, partitioning), header
-  parsing of the deterministic in-repo asset format, aspect-preserving
-  resize arithmetic (the reference's exact max-side formula), base64
-  encoding, byte-level feature extraction (frame sampling over the payload).
-* STUBBED: pixel decoding. ``decode_pixels`` raises NotImplementedError
-  unless the payload is the in-repo synthetic format (magic b'ATPS'), whose
-  "pixels" are a deterministic xorshift byte stream — enough to exercise
-  every batch path end to end in tests.
+* REAL formats, decoded end to end: PNG (functions/png.py, stdlib zlib),
+  baseline JPEG (functions/jpeg.py, T.81 with hand-assembled conformance
+  goldens), RIFF/WAV 16-bit PCM audio, and Motion-JPEG AVI video — plus
+  the reference's full image chain (decode -> flatten -> aspect-fit ->
+  downscale -> JPEG re-encode -> base64, image_reencode_payload).
+* SYNTHETIC formats (magic ATPS/ATPA/ATPV): deterministic xorshift
+  payloads that exercise every batch path with cheap fixtures; their
+  oracles predate the real codecs and stay byte-identical.
+* QUARANTINED: genuinely out-of-profile inputs (progressive JPEG,
+  compressed audio, inter-frame video codecs) raise NotImplementedError
+  per-asset into the error column — never a crashed batch.
 """
 
 from __future__ import annotations
@@ -63,14 +66,13 @@ def pack_asset(asset_id: str, width: int, height: int, channels: int = 3) -> byt
 
 def parse_header(content: bytes) -> tuple[int, int, int]:
     """REAL decode of the synthetic header; raises on foreign formats the
-    way the production path would hand off to a codec library. PNG is NOT
-    foreign anymore — it routes to the stdlib-zlib decoder (functions/
-    png.py) via :func:`image_features_payload`; JPEG remains behind the
-    seam."""
+    way the production path would hand off to a codec library. PNG and
+    baseline JPEG are NOT foreign anymore — they route to the pure-Python
+    decoders via :func:`image_features_payload`."""
     if content is None or len(content) < 9 or content[:4] != _MAGIC:
         raise NotImplementedError(
             "pixel codec not available for this payload; decodable formats "
-            "are PNG (functions/png.py) and the in-repo synthetic ATPS"
+            "are PNG, baseline JPEG, and the in-repo synthetic ATPS"
         )
     w, h, c = struct.unpack(">HHB", content[4:9])
     return w, h, c
