@@ -143,6 +143,27 @@ def _build_huff_decode(counts, symbols):
     return table
 
 
+def _build_huff_fast(counts, symbols):
+    """Canonical-Huffman decode arrays (T.81 F.2.2.3 DECODE): per code
+    length L, (maxcode[L], mincode[L], valptr[L]) — the classic
+    compare-against-maxcode walk, far cheaper per symbol than a dict
+    probe per candidate length in the pure-Python hot loop."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if counts[length - 1]:
+            valptr[length] = k
+            mincode[length] = code
+            code += counts[length - 1]
+            k += counts[length - 1]
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(symbols)
+
+
 def _build_huff_encode(counts, symbols):
     dec = _build_huff_decode(counts, symbols)
     return {sym: (length, code) for (length, code), sym in dec.items()}
@@ -184,6 +205,9 @@ class _BitReader:
                 self.pos += 1
             self.bits = (self.bits << 8) | b
             self.nbits += 8
+        # keep the accumulator bounded: without this mask it grows by 8
+        # bits per consumed byte and every shift turns O(stream-length)
+        self.bits &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -192,10 +216,12 @@ class _BitReader:
         return (self.bits >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.bits >> self.nbits) & ((1 << n) - 1)
 
     def at_restart(self) -> bool:
         return (
@@ -216,6 +242,20 @@ class _BitReader:
             sym = table.get((length, code))
             if sym is not None:
                 return sym
+        raise JpegUnsupported("invalid Huffman code in entropy stream")
+
+    def decode_huff_fast(self, fast) -> int:
+        mincode, maxcode, valptr, symbols = fast
+        if self.nbits < 16:
+            self._fill()
+        bits, nbits = self.bits, self.nbits
+        code = 0
+        for length in range(1, 17):
+            nbits -= 1
+            code = (code << 1) | ((bits >> nbits) & 1)
+            if code <= maxcode[length]:
+                self.nbits = nbits
+                return symbols[valptr[length] + code - mincode[length]]
         raise JpegUnsupported("invalid Huffman code in entropy stream")
 
 
@@ -272,7 +312,7 @@ def _parse_stream(content: bytes) -> tuple[int, int, int, bytes]:
                 counts = list(seg[i + 1 : i + 17])
                 nsym = sum(counts)
                 symbols = list(seg[i + 17 : i + 17 + nsym])
-                tbl = _build_huff_decode(counts, symbols)
+                tbl = _build_huff_fast(counts, symbols)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + nsym
         elif marker == 0xC0:  # SOF0 baseline
@@ -357,13 +397,13 @@ def _decode_scan(content, pos, frame, scan, qtables, huff_dc, huff_ac,
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         coefs = np.zeros(64, dtype=np.float64)
-                        size = reader.decode_huff(dct)
+                        size = reader.decode_huff_fast(dct)
                         diff = _extend(reader.read_bits(size), size)
                         pred[comp["id"]] += diff
                         coefs[0] = pred[comp["id"]] * q[0]
                         k = 1
                         while k < 64:
-                            sym = reader.decode_huff(act)
+                            sym = reader.decode_huff_fast(act)
                             if sym == 0x00:  # EOB
                                 break
                             run, sz = sym >> 4, sym & 0xF
@@ -447,8 +487,13 @@ def _mag(v: int) -> tuple[int, int]:
     return size, pattern
 
 
-def _encode_block(bw, coefs_nat, q, pred, dc_enc, ac_enc):
-    zz = [int(round(coefs_nat[ZIGZAG[zi]] / q[ZIGZAG[zi]])) for zi in range(64)]
+_ZZ_IDX = np.array(ZIGZAG, dtype=np.int64)
+
+
+def _encode_block(bw, coefs_nat, qzz_arr, pred, dc_enc, ac_enc):
+    # vectorized quantize in zigzag order; np.rint is round-half-even,
+    # matching the previous int(round(...)) per-coefficient path
+    zz = np.rint(coefs_nat[_ZZ_IDX] / qzz_arr).astype(np.int64).tolist()
     diff = zz[0] - pred
     size, pattern = _mag(diff)
     length, code = dc_enc[size]
@@ -525,8 +570,8 @@ def encode_jpeg(pixels: bytes, width: int, height: int,
         hids = [(0, 0)]
 
     # constants are natural order; DQT payloads must be zigzag (T.81 B.2.4.1)
-    qnat = dict(qtabs)
     qzz = {tq: [nat[ZIGZAG[zi]] for zi in range(64)] for tq, nat in qtabs.items()}
+    qzz_arr = {tq: np.array(z, dtype=np.float64) for tq, z in qzz.items()}
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -590,7 +635,7 @@ def encode_jpeg(pixels: bytes, width: int, height: int,
                         block = plane[np.ix_(ys, xs)] - 128.0
                         coefs = _fdct2(block)
                         preds[ci] = _encode_block(
-                            bw, coefs.reshape(-1), qnat[qids[ci]],
+                            bw, coefs.reshape(-1), qzz_arr[qids[ci]],
                             preds[ci], *encs[ci]
                         )
     bw.flush()
