@@ -358,16 +358,38 @@ def _decode_scan(content, pos, frame, scan, qtables, huff_dc, huff_ac,
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        # the upsample below replicates by integer ratio vmax/v, hmax/h; a
+        # spec-legal non-dividing factor set (e.g. 3:2) would decode to
+        # silently wrong pixels — quarantine it instead (r4 ADVICE)
+        if vmax % c["v"] or hmax % c["h"]:
+            raise JpegUnsupported(
+                f"non-dividing sampling factors {c['h']}x{c['v']} vs "
+                f"{hmax}x{vmax}"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = {}
+
+    # Batched-IDCT layout (r4 VERDICT #4): instead of one tiny 8x8 matmul
+    # per block inside the entropy loop (~9k numpy calls on a 900x650
+    # image), dequantized coefficients are written into one preallocated
+    # (n_blocks, 64) array with their block-grid coordinates, and the IDCT
+    # runs ONCE per component as a broadcast matmul over the whole stack.
+    n_mcu_blocks = sum(c["h"] * c["v"] for c, _, _ in scan)
+    total_blocks = mcux * mcuy * n_mcu_blocks
+    coefs_all = np.zeros((total_blocks, 64), dtype=np.float64)
+    # per component: grid shape + parallel lists of (block_index, row, col)
+    grids = {}
     for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
+        grids[c["id"]] = {
+            "shape": (mcuy * c["v"], mcux * c["h"]),
+            "idx": [], "rows": [], "cols": [],
+        }
 
     reader = _BitReader(content, pos)
     pred = {c["id"]: 0 for c in comps}
     mcu_count = 0
+    bi = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -394,9 +416,10 @@ def _decode_scan(content, pos, frame, scan, qtables, huff_dc, huff_ac,
                 act = huff_ac.get(ta)
                 if dct is None or act is None:
                     raise JpegUnsupported("missing Huffman table")
+                grid = grids[comp["id"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        coefs = np.zeros(64, dtype=np.float64)
+                        coefs = coefs_all[bi]
                         size = reader.decode_huff_fast(dct)
                         diff = _extend(reader.read_bits(size), size)
                         pred[comp["id"]] += diff
@@ -420,11 +443,26 @@ def _decode_scan(content, pos, frame, scan, qtables, huff_dc, huff_ac,
                                 _extend(reader.read_bits(sz), sz) * q[nat]
                             )
                             k += 1
-                        block = _idct2(coefs.reshape(8, 8)) + 128.0
-                        py = (my * comp["v"] + by) * 8
-                        px = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][py : py + 8, px : px + 8] = block
+                        grid["idx"].append(bi)
+                        grid["rows"].append(my * comp["v"] + by)
+                        grid["cols"].append(mx * comp["h"] + bx)
+                        bi += 1
             mcu_count += 1
+
+    # one broadcast IDCT per component over the whole block stack, then a
+    # fancy-index scatter into (rows, cols, 8, 8) tile space and a
+    # transpose-reshape back to the pixel plane — identical math to the
+    # old per-block _C.T @ block @ _C, pinned by the conformance goldens
+    planes = {}
+    for c in comps:
+        grid = grids[c["id"]]
+        gh, gw = grid["shape"]
+        tiles = np.zeros((gh, gw, 8, 8), dtype=np.float64)
+        if grid["idx"]:
+            stack = coefs_all[np.asarray(grid["idx"])].reshape(-1, 8, 8)
+            out = np.matmul(np.matmul(_C.T, stack), _C) + 128.0
+            tiles[np.asarray(grid["rows"]), np.asarray(grid["cols"])] = out
+        planes[c["id"]] = tiles.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
 
     # upsample (sample replication) + crop + color convert
     out_planes = []

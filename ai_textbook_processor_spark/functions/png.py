@@ -96,9 +96,21 @@ def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
 
     ``pixels`` is row-major interleaved bytes with ``channels`` in
     {1: gray, 2: gray+alpha, 3: RGB, 4: RGBA}; palette images come back
-    expanded to RGB (or RGBA when a tRNS chunk is present)."""
+    expanded to RGB (or RGBA when a tRNS chunk is present).
+
+    Malformed streams (short IHDR, truncated scanlines, bad filter bytes)
+    raise PngUnsupported too — same quarantine contract as decode_jpeg
+    (r4 ADVICE): parse errors must never escape as struct.error/IndexError
+    and crash a whole mapInPandas batch."""
     if content is None or len(content) < 8 or content[:8] != PNG_MAGIC:
         raise PngUnsupported("not a PNG byte stream")
+    try:
+        return _parse_png(content)
+    except (struct.error, IndexError, ValueError) as e:
+        raise PngUnsupported(f"malformed/truncated PNG stream: {e}") from None
+
+
+def _parse_png(content: bytes) -> tuple[int, int, int, bytes]:
     pos = 8
     width = height = None
     color_type = bit_depth = None

@@ -489,6 +489,7 @@ def _pq_pure(sf_dir: str, m: int = 4, k_sub: int = 8, iters: int = 3,
     return topk, hits
 
 
+@functools.lru_cache(maxsize=16)
 def _ivfpq_pure(sf_dir: str, m: int = 4, k_sub: int = 8, iters: int = 2,
                 qid: int = 7, k: int = 10, n_probe: int = 2):
     """Pure twin of sim_ivfpq_topk: L2 coarse Lloyd (seeds vec_id 1-4,
@@ -592,6 +593,40 @@ def ivfpq_topk_oracle(sf_dir: str) -> str:
         for i, a in _ivfpq_pure(sf_dir)
     ]
     return _values_sql(lits, ["vec_id", "adc"])
+
+
+def ivfpq_sweep_oracle(sf_dir: str) -> str:
+    """Pure twin of harness.sim_ivfpq_sweep: exact L2 top-10 ground truth
+    plus the IVF-PQ ADC top-10 at each n_probe in {1, 2, 4}, overlap
+    counted — same fold/round/tiebreak discipline as :func:`_ivfpq_pure`."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    vecs = {
+        int(i): [float(x) for x in e]
+        for i, e in zip(t["vec_id"], t["embedding"])
+    }
+    qv = vecs[7]
+
+    def dist2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    brute = set(sorted(vecs, key=lambda i: (dist2(qv, vecs[i]), i))[:10])
+    lits = []
+    for p in (1, 2, 4):
+        approx = {i for i, _ in _ivfpq_pure(sf_dir, n_probe=p)}
+        hits = len(approx & brute)
+        lits.append(
+            (
+                f"CAST({p} AS INTEGER)",
+                f"CAST({hits} AS BIGINT)",
+                f"CAST({round(hits / 10.0, 2)!r} AS DOUBLE)",
+            )
+        )
+    return _values_sql(lits, ["n_probe", "n_hit", "recall_at_10"])
 
 
 def pq_topk_oracle(sf_dir: str) -> str:
@@ -866,23 +901,33 @@ def s4_oracle(sf_dir: str) -> str:
     return _values_sql(lits, ["asset_id", "duration_ms", "n_segments", "transcript"])
 
 
+_LITERAL_BUILDERS = {
+    "x1_extract_pipeline": x1_oracle,
+    "x2_extract_span_stats": x2_oracle,
+    "g1_generate_content": g1_oracle,
+    "tp1_clean_corpus_funnel": tp1_oracle,
+    "tp2_full_pipeline": tp2_oracle,
+    "s4_audio_transcribe": s4_oracle,
+    "s4_wav_transcribe": s4wav_oracle,
+    "s6_image_features": s6_oracle,
+    "s6_png_features": s6png_oracle,
+    "s6_jpeg_features": s6jpeg_oracle,
+    "s6_reencode_chain": s6reenc_oracle,
+    "sim_pq_topk": pq_topk_oracle,
+    "sim_ivfpq_topk": ivfpq_topk_oracle,
+    "sim_ivfpq_sweep": ivfpq_sweep_oracle,
+    "sim_pq_recall": pq_recall_oracle,
+    "mm_video_frames": mm_video_oracle,
+    "mm_video_mjpeg": mm_mjpeg_oracle,
+}
+
+
+def literal_oracle_names() -> list[str]:
+    """Names with a pure-Python literal-table oracle — cheap (no oracle
+    computation), used by tools/gen_registry.py for mechanical counts."""
+    return list(_LITERAL_BUILDERS)
+
+
 @functools.lru_cache(maxsize=4)
 def literal_oracles(sf_dir: str) -> dict[str, str]:
-    return {
-        "x1_extract_pipeline": x1_oracle(sf_dir),
-        "x2_extract_span_stats": x2_oracle(sf_dir),
-        "g1_generate_content": g1_oracle(sf_dir),
-        "tp1_clean_corpus_funnel": tp1_oracle(sf_dir),
-        "tp2_full_pipeline": tp2_oracle(sf_dir),
-        "s4_audio_transcribe": s4_oracle(sf_dir),
-        "s4_wav_transcribe": s4wav_oracle(sf_dir),
-        "s6_image_features": s6_oracle(sf_dir),
-        "s6_png_features": s6png_oracle(sf_dir),
-        "s6_jpeg_features": s6jpeg_oracle(sf_dir),
-        "s6_reencode_chain": s6reenc_oracle(sf_dir),
-        "sim_pq_topk": pq_topk_oracle(sf_dir),
-        "sim_ivfpq_topk": ivfpq_topk_oracle(sf_dir),
-        "sim_pq_recall": pq_recall_oracle(sf_dir),
-        "mm_video_frames": mm_video_oracle(sf_dir),
-        "mm_video_mjpeg": mm_mjpeg_oracle(sf_dir),
-    }
+    return {k: fn(sf_dir) for k, fn in _LITERAL_BUILDERS.items()}

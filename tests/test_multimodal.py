@@ -144,3 +144,90 @@ def test_avi_mjpeg_container_roundtrip_and_quarantine(spark):
     out = {r["asset_id"]: r for r in sample_video_assets(assets).collect()}
     assert out["ok"]["error"] is None and out["ok"]["n_frames"] > 0
     assert out["h264"]["error"] is not None
+
+
+class TestMalformedQuarantineContract:
+    """r4 ADVICE (medium): malformed REAL-format media must raise
+    NotImplementedError (the quarantine seam), never struct.error /
+    IndexError that would crash a whole mapInPandas batch. Each case below
+    is one of the ADVICE probe inputs."""
+
+    def test_zero_frame_avi(self):
+        from ai_textbook_processor_spark.operators.multimodal import (
+            encode_avi_mjpeg,
+            video_frames_payload_real,
+        )
+
+        empty = encode_avi_mjpeg([], 32, 24, 12)
+        with pytest.raises(NotImplementedError, match="no frames"):
+            video_frames_payload_real(empty)
+
+    def test_truncated_avi_strh(self):
+        from ai_textbook_processor_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+            pack_mjpeg_asset,
+        )
+
+        good = pack_mjpeg_asset("probe", 7)
+        # chop at every point: the contract is "NotImplementedError or a
+        # valid decode of the surviving prefix" — never struct.error /
+        # IndexError (a cut past the headers legitimately parses)
+        for cut in range(12, len(good), 97):
+            try:
+                w, h, fps, frames = decode_avi_mjpeg(good[:cut])
+                assert w > 0 and h > 0
+            except NotImplementedError:
+                pass
+        assert encode_avi_mjpeg is not None
+
+    def test_short_ihdr_png(self):
+        import struct
+        import zlib
+
+        from ai_textbook_processor_spark.functions.png import (
+            PNG_MAGIC,
+            decode_png,
+        )
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        bad = PNG_MAGIC + chunk(b"IHDR", b"\x00" * 12)  # spec wants 13
+        with pytest.raises(NotImplementedError):
+            decode_png(bad)
+
+    def test_truncated_wav(self):
+        from ai_textbook_processor_spark.operators.multimodal import (
+            decode_wav,
+            pack_wav_asset,
+        )
+
+        good = pack_wav_asset("probe", 3)
+        for cut in (13, 20, 43):
+            try:
+                decode_wav(good[:cut])
+            except NotImplementedError:
+                pass  # quarantined — the contract
+            # any other exception type fails the test by escaping
+
+    def test_batch_never_crashes_on_malformed_real_formats(self, spark):
+        from ai_textbook_processor_spark.operators.multimodal import (
+            ASSET_SCHEMA,
+            encode_avi_mjpeg,
+            extract_asset_features,
+            pack_wav_asset,
+        )
+
+        rows = [
+            ("bad_png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "image/png", None, None),
+            ("bad_avi", encode_avi_mjpeg([], 8, 8, 10)[:40], "video/avi", None, None),
+            ("bad_wav", pack_wav_asset("x", 1)[:30], "audio/wav", None, None),
+        ]
+        df = spark.createDataFrame(rows, ASSET_SCHEMA)
+        out = extract_asset_features(df).collect()
+        assert len(out) == 3
+        assert all(r["error"] is not None for r in out)

@@ -96,3 +96,41 @@ def test_no_window_exec_in_plan(spark):
     # exactly one aggregation exchange (plus AQE reads); no sort of the
     # full input — Sort may appear only inside the final small merge
     assert "WindowExec" not in p
+
+
+def test_descending_native_strings_and_nulls(spark):
+    # r4 ADVICE: ascending=False used to negate order columns, which fails
+    # analysis on strings and diverges on nulls. Now it's a native
+    # sort_array(asc=False) merge: string keys work, nulls sort LAST on
+    # both stages (Spark descending null order == pandas na_position).
+    rows = [
+        ("g1", "zebra", 1), ("g1", "apple", 2), ("g1", None, 3),
+        ("g1", "mango", 4), ("g2", "kiwi", 5), ("g2", None, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, word string, id long"
+    ).repartition(4)
+    out = grouped_topk(df, "grp", ["word", "id"], 2, ascending=False)
+    got = {(r["grp"], r["word"], r["rk"]) for r in out.collect()}
+    assert got == {
+        ("g1", "zebra", 1), ("g1", "mango", 2),
+        ("g2", "kiwi", 1), ("g2", None, 2),
+    }
+
+
+def test_descending_matches_window_desc(spark):
+    df = _mk(spark, n=400, groups=5, seed=11)
+    w = W.partitionBy("grp").orderBy(F.desc("score"), F.desc("id"))
+    exp = {
+        (r["grp"], r["score"], r["id"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in grouped_topk(
+            df, "grp", ["score", "id"], 3, ascending=False
+        ).collect()
+    }
+    assert got == exp and len(got) > 0

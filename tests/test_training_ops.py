@@ -310,3 +310,40 @@ def test_ivfpq_residual_beats_raw_pq(spark):
 
     assert raw_top["vec_id"] == 7 and pq_top["vec_id"] == 7
     assert pq_top["adc"] < raw_top["adc"], (pq_top["adc"], raw_top["adc"])
+
+
+def test_ivfpq_sweep_recall_monotone(spark):
+    """r4 VERDICT #5: the n_probe operating-point curve. Recall@10 must be
+    non-decreasing in n_probe (more probed cells only widen the ADC
+    candidate pool on these fixtures) and the Spark-side curve must equal
+    the pure-Python twin point for point."""
+    from ai_textbook_processor_spark import harness
+    from ai_textbook_processor_spark.golden_oracle import _ivfpq_pure
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        tuple(r) for r in harness.QUERIES["sim_ivfpq_sweep"](spark, sf).collect()
+    )
+    assert [r[0] for r in rows] == [1, 2, 4]
+    recalls = [r[2] for r in rows]
+    assert recalls == sorted(recalls), recalls
+
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(f"{sf}/embeddings.parquet",
+                       columns=["vec_id", "embedding"]).to_pydict()
+    vecs = {int(i): [float(x) for x in e]
+            for i, e in zip(t["vec_id"], t["embedding"])}
+    qv = vecs[7]
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    brute = set(sorted(vecs, key=lambda i: (d2(qv, vecs[i]), i))[:10])
+    for n_probe, n_hit, recall in rows:
+        pure = {i for i, _ in _ivfpq_pure(sf, n_probe=n_probe)}
+        assert n_hit == len(pure & brute)
+        assert recall == round(n_hit / 10.0, 2)
