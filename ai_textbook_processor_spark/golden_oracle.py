@@ -293,6 +293,25 @@ def tp1_oracle(sf_dir: str) -> str:
     return _values_sql(lits, ["stage", "n"])
 
 
+def tp3_oracle(sf_dir: str) -> str:
+    """Pure twin of harness.tp3_stream_ingest: the tp1 funnel (the drained
+    deduplicated stream ingest must be byte-equivalent to batch extraction
+    of the unique corpus) prefixed by a stream_arrivals row counting
+    uniques + the planted doc_id % 7 == 3 re-deliveries."""
+    n_input, gated, winners, survivors = _tp_survivors(sf_dir)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_re = sum(1 for i in t.column("doc_id").to_pylist() if int(i) % 7 == 3)
+    counts = [
+        ("stream_arrivals", n_input + n_re),
+        ("input", n_input),
+        ("extracted_valid", len(gated)),
+        ("after_exact_dedup", len(winners)),
+        ("after_near_dedup", len(survivors)),
+    ]
+    lits = [(_sql_str(k), f"CAST({v} AS BIGINT)") for k, v in counts]
+    return _values_sql(lits, ["stage", "n"])
+
+
 _CJK_SEARCH_RE = re.compile("[\\u4e00-\\u9fff]")
 _THE_RE = re.compile(r"\bthe\b")
 
@@ -907,6 +926,7 @@ _LITERAL_BUILDERS = {
     "g1_generate_content": g1_oracle,
     "tp1_clean_corpus_funnel": tp1_oracle,
     "tp2_full_pipeline": tp2_oracle,
+    "tp3_stream_ingest": tp3_oracle,
     "s4_audio_transcribe": s4_oracle,
     "s4_wav_transcribe": s4wav_oracle,
     "s6_image_features": s6_oracle,
