@@ -234,7 +234,18 @@ def resize_box(
     two weight-matrix products in float64 and rounded half-up to uint8.
     Exact passthrough when the size is unchanged. Deterministic across
     platforms (pure IEEE double sums of exact dyadic weights... weights are
-    rationals; float64 rounding is fixed by the evaluation order below)."""
+    rationals; float64 rounding is fixed by the evaluation order below).
+
+    The dense weight matrices look wasteful (~99% zeros at photo sizes)
+    but a banded gather + per-band einsum variant was built and A/B'd
+    (r4 VERDICT #9): the dense einsum lowers to BLAS dgemm and BEAT the
+    banded form on 4 of 6 golden shapes (11x at 2000x1500 -> 256x192,
+    where the banded row gather materialises band*width copies), and the
+    banded contraction order diverges by 1 ulp from this formulation on
+    odd scales, flipping round-half-up at exact .5 boundaries — so it
+    cannot replace this function without re-pinning every golden. Dense
+    kept deliberately; this path only ever runs on fixture-sized images
+    inside the image UDFs, never per-row on text."""
     if (out_w, out_h) == (width, height):
         return bytes(pixels_rgb)
     img = (

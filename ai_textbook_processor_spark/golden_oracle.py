@@ -920,6 +920,81 @@ def s4_oracle(sf_dir: str) -> str:
     return _values_sql(lits, ["asset_id", "duration_ms", "n_segments", "transcript"])
 
 
+def _bpe_freqs(sf_dir: str) -> dict[str, int]:
+    """Word-frequency dict computed WITHOUT Spark: pyarrow scan + Python
+    Counter over the same regex/lowercase pipeline as
+    operators.bpe.word_count_table — this independently checks the
+    distributed explode+groupBy stage, while the shared merge/encode
+    kernels are pinned by hand-worked goldens in tests/test_bpe.py."""
+    import re
+    from collections import Counter
+
+    from .operators.bpe import WORD_RE
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"]).to_pydict()
+    wre = re.compile(WORD_RE)
+    c: Counter = Counter()
+    for text in t["text"]:
+        c.update(wre.findall((text or "").lower()))
+    from .harness import BPE_MIN_COUNT
+
+    return {w: n for w, n in c.items() if n >= BPE_MIN_COUNT}
+
+
+@functools.lru_cache(maxsize=4)
+def _bpe_merges_pure(sf_dir: str):
+    from .harness import BPE_MERGES
+    from .operators.bpe import learn_merges
+
+    return learn_merges(_bpe_freqs(sf_dir), BPE_MERGES)
+
+
+def bpe_train_oracle(sf_dir: str) -> str:
+    lits = [
+        (
+            f"CAST({r} AS BIGINT)",
+            _sql_str(a),
+            _sql_str(b),
+            _sql_str(m),
+            f"CAST({c} AS BIGINT)",
+        )
+        for r, a, b, m, c in _bpe_merges_pure(sf_dir)
+    ]
+    return _values_sql(
+        lits, ["merge_rank", "lhs", "rhs", "merged", "pair_count"]
+    )
+
+
+def bpe_encode_oracle(sf_dir: str) -> str:
+    import hashlib
+    import re
+
+    from .operators.bpe import WORD_RE, encode_text
+
+    merges = _bpe_merges_pure(sf_dir)
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    wre = re.compile(WORD_RE)
+    cache: dict = {}
+    lits = []
+    for doc_id, text in zip(t["doc_id"], t["text"]):
+        if doc_id >= 60:
+            continue
+        toks = encode_text(text or "", ranks, cache, wre)
+        lits.append(
+            (
+                f"CAST({int(doc_id)} AS BIGINT)",
+                f"CAST({len(toks)} AS BIGINT)",
+                _sql_str(
+                    hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest()
+                ),
+            )
+        )
+    return _values_sql(lits, ["doc_id", "n_tokens", "tok_hash"])
+
+
 _LITERAL_BUILDERS = {
     "x1_extract_pipeline": x1_oracle,
     "x2_extract_span_stats": x2_oracle,
@@ -939,6 +1014,8 @@ _LITERAL_BUILDERS = {
     "sim_pq_recall": pq_recall_oracle,
     "mm_video_frames": mm_video_oracle,
     "mm_video_mjpeg": mm_mjpeg_oracle,
+    "txt_bpe_train": bpe_train_oracle,
+    "txt_bpe_encode": bpe_encode_oracle,
 }
 
 

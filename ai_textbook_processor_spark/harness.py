@@ -3299,6 +3299,60 @@ def txt_corpus_logprob(spark, sf_dir):
     return corpus_logprob(d, "doc_id", "text")
 
 
+# deterministic BPE hyperparameters, shared with golden_oracle's twins
+BPE_MERGES = 48
+BPE_MIN_COUNT = 2
+
+
+@query("txt_bpe_train")  # literal oracle via golden_oracle.py
+def txt_bpe_train(spark, sf_dir):
+    """Learn a BPE tokenizer FROM the corpus (operators/bpe.py; Sennrich
+    et al. 2016 — the reference only consumes a fixed external tokenizer,
+    utils/utility.py token counting, but a pipeline that owns its corpus
+    trains one). One distributed explode+groupBy builds the word-frequency
+    table (the only corpus pass); the greedy merge loop runs on that
+    model-sized dict driver-side like the k-means fit. Output is the merge
+    table itself — rank order and pair counts pin the exact learning
+    trajectory, ties broken (count DESC, pair ASC) identically in the
+    pure-Python oracle twin."""
+    from .operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, dropped = bpe_train(
+        d, "text", num_merges=BPE_MERGES, min_count=BPE_MIN_COUNT
+    )
+    assert dropped == 0, "word cap must not bite at harness SFs"
+    rows = [(int(r), a, b, m, int(c)) for r, a, b, m, c in merges]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank long, lhs string, rhs string, merged string, "
+        "pair_count long",
+    )
+
+
+@query("txt_bpe_encode")  # literal oracle via golden_oracle.py
+def txt_bpe_encode(spark, sf_dir):
+    """Apply the learned merges to encode every document (lowest-rank-
+    first inference): per-doc token count + md5 of the exact token stream.
+    The ranks table is model-sized and rides into the Arrow-batched
+    encoder closure (broadcast-small side); texts stream through
+    mapInPandas with a per-batch word memo — the deployment shape of any
+    real tokenizer pass at 100 TB."""
+    from .operators.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(
+        d, "text", num_merges=BPE_MERGES, min_count=BPE_MIN_COUNT
+    )
+    return bpe_encode(
+        d.where(F.col("doc_id") < 60), merges, "doc_id", "text"
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "tok_hash",
+    )
+
+
 @query("s4_audio_transcribe")  # literal oracle via golden_oracle.py
 def s4_audio_transcribe(spark, sf_dir):
     """S4 audio modality end-to-end: deterministic ATPA audio assets derived
