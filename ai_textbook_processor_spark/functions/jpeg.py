@@ -1,25 +1,32 @@
-"""Pure-Python baseline JPEG codec (stdlib + numpy only).
+"""Pure-Python JPEG codec (stdlib + numpy only).
 
 Closes the remaining half of the r3 I2 seam: the reference decodes JPEG
 pixels via PIL (``/root/reference/utils/utility.py:35-64``); this module
-implements the baseline DCT profile of ITU-T T.81 without a codec
-library — marker parse (SOI/DQT/DHT/SOF0/DRI/SOS), entropy decode
-(Huffman, byte-unstuffing, restart markers), dequantize (zigzag),
-8x8 IDCT as an exact matrix product, chroma upsampling, YCbCr->RGB —
-plus a minimal baseline encoder (Annex K tables, 4:4:4 / grayscale) for
-building real-JPEG fixtures.
+implements the baseline AND progressive DCT profiles of ITU-T T.81
+without a codec library — marker parse (SOI/DQT/DHT/SOF0/SOF2/DRI/SOS),
+entropy decode (Huffman, byte-unstuffing, restart markers; for SOF2 the
+Annex-G multi-scan accumulation: spectral selection bands, EOBn runs,
+and successive-approximation refinement with correction bits),
+dequantize (zigzag), 8x8 IDCT as an exact batched matrix product,
+chroma upsampling, YCbCr->RGB — plus minimal encoders for BOTH layouts
+(Annex K tables) for building real-JPEG fixtures.
 
 Supported profile (everything else raises ``JpegUnsupported`` into the
-multimodal quarantine channel, never a crash): baseline sequential DCT
-(SOF0), 8-bit precision, 1 or 3 components, sampling factors whose
-max-ratios divide the block grid (covers 4:4:4, 4:2:2, 4:2:0), restart
-intervals. Progressive (SOF2), arithmetic coding, 12-bit, and CMYK are
-out of profile.
+multimodal quarantine channel, never a crash): baseline sequential
+(SOF0) and progressive (SOF2) DCT, 8-bit precision, 1 or 3 components,
+sampling factors whose max-ratios divide the block grid (covers 4:4:4,
+4:2:2, 4:2:0), restart intervals. Arithmetic coding, 12-bit,
+hierarchical, and CMYK are out of profile.
 
 Conformance is pinned by HAND-COMPUTED single-block goldens in
-tests/test_jpeg.py (a DC-only block must decode to the exact flat level
-``round(dc * q / 8) + 128``; a single-AC block to the exact cosine
-pattern), not merely by encoder/decoder self-consistency.
+tests/test_jpeg.py and tests/test_jpeg_progressive.py (a DC-only block
+must decode to the exact flat level ``round(dc * q / 8) + 128``; a
+single-AC block to the exact cosine pattern; successive-approximation
+and EOB-run streams assembled bit-by-bit against Annex-G semantics),
+not merely by encoder/decoder self-consistency — plus the structural
+pin that a progressive encoding of any pixels decodes byte-identically
+to the baseline encoding of the same pixels (same quantized
+coefficients by construction).
 
 Decoder choices the spec leaves open (documented, deterministic):
 chroma upsampling is sample replication (box), YCbCr->RGB uses the
@@ -283,6 +290,7 @@ def _parse_stream(content: bytes) -> tuple[int, int, int, bytes]:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None
+    store = None  # progressive coefficient accumulator across scans
     pos = 2
     n = len(content)
     while pos + 4 <= n:
@@ -315,7 +323,7 @@ def _parse_stream(content: bytes) -> tuple[int, int, int, bytes]:
                 tbl = _build_huff_fast(counts, symbols)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + nsym
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise JpegUnsupported(f"{prec}-bit precision")
@@ -327,17 +335,19 @@ def _parse_stream(content: bytes) -> tuple[int, int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegUnsupported(
-                f"SOF{marker - 0xC0}: only baseline sequential (SOF0)"
+                f"SOF{marker - 0xC0}: only baseline (SOF0) or "
+                "progressive (SOF2) DCT"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise JpegUnsupported("SOS before SOF0")
+                raise JpegUnsupported("SOS before SOF")
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -345,11 +355,23 @@ def _parse_stream(content: bytes) -> tuple[int, int, int, bytes]:
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0xF))
             data_start = pos + 2 + seglen
-            return _decode_scan(
-                content, data_start, frame, scan, qtables, huff_dc, huff_ac,
-                restart_interval,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    content, data_start, frame, scan, qtables, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if store is None:
+                store = _coef_store(frame)
+            pos = _decode_scan_progressive(
+                content, data_start, frame, scan, huff_dc, huff_ac,
+                restart_interval, ss, se, ahal >> 4, ahal & 0xF, store,
             )
+            continue
         pos += 2 + seglen
+    if store is not None:
+        return _finish_progressive(frame, qtables, store)
     raise JpegUnsupported("no SOS marker found")
 
 
@@ -393,20 +415,7 @@ def _decode_scan(content, pos, frame, scan, qtables, huff_dc, huff_ac,
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # align to the restart marker, reset predictors
-                if reader.at_restart():
-                    reader.skip_restart()
-                else:
-                    # discard pad bits then expect the marker
-                    reader.bits = 0
-                    reader.nbits = 0
-                    while (
-                        reader.pos + 1 < len(reader.data)
-                        and not reader.at_restart()
-                    ):
-                        reader.pos += 1
-                    if reader.at_restart():
-                        reader.skip_restart()
+                _restart_align(reader)
                 pred = {c["id"]: 0 for c in comps}
             for comp, td, ta in scan:
                 q = qtables.get(comp["tq"])
@@ -464,7 +473,12 @@ def _decode_scan(content, pos, frame, scan, qtables, huff_dc, huff_ac,
             tiles[np.asarray(grid["rows"]), np.asarray(grid["cols"])] = out
         planes[c["id"]] = tiles.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
 
-    # upsample (sample replication) + crop + color convert
+    return _planes_to_pixels(w, h, comps, hmax, vmax, planes)
+
+
+def _planes_to_pixels(w, h, comps, hmax, vmax, planes):
+    """Shared decoder tail: upsample (sample replication) + crop + color
+    convert. Identical math for the baseline and progressive paths."""
     out_planes = []
     for c in comps:
         p = planes[c["id"]]
@@ -482,6 +496,246 @@ def _decode_scan(content, pos, frame, scan, qtables, huff_dc, huff_ac,
     rgb = np.stack([r, g, b], axis=-1)
     rgb = np.floor(rgb + 0.5).clip(0, 255).astype(np.uint8)
     return w, h, 3, rgb.tobytes()
+
+
+def _restart_align(reader: _BitReader) -> None:
+    """Align the bit reader to the next restart marker and consume it."""
+    if reader.at_restart():
+        reader.skip_restart()
+    else:
+        # discard pad bits then expect the marker
+        reader.bits = 0
+        reader.nbits = 0
+        while reader.pos + 1 < len(reader.data) and not reader.at_restart():
+            reader.pos += 1
+        if reader.at_restart():
+            reader.skip_restart()
+
+
+# -- progressive (SOF2) scan accumulation: T.81 Annex G -------------------
+#
+# Coefficients accumulate across scans in ZIGZAG order (the order the
+# spectral bands Ss..Se address) as signed int64 grids per component,
+# padded to the interleaved MCU geometry; dequantize + batched IDCT run
+# once at EOI via _finish_progressive. Successive approximation stores
+# values at full scale (first scan writes v << Al, refinements set bit
+# Al), so two's-complement |= reconstruction works for negative DC too.
+
+
+def _coef_store(frame: dict) -> dict:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return {
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "coef": {
+            c["id"]: np.zeros(
+                (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+            )
+            for c in comps
+        },
+    }
+
+
+def _next_marker(content: bytes, pos: int) -> int:
+    """Position of the next non-stuffing, non-restart marker at/after pos
+    (entropy data may leave unread pad bits before it)."""
+    n = len(content)
+    while pos + 1 < n:
+        if content[pos] == 0xFF and content[pos + 1] not in (0x00, 0xFF):
+            if 0xD0 <= content[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _ac_first_block(reader, act, cf, ss, se, al, eobrun) -> int:
+    """AC band first scan for one block (G.1.2.2, F.2.2.2 + EOBn runs).
+    Returns the updated end-of-band run count."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.decode_huff_fast(act)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r + bits end-of-band blocks
+                eb = (1 << r) - 1  # current block ends now
+                if r:
+                    eb += reader.read_bits(r)
+                return eb
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise JpegUnsupported("AC run past band end")
+            cf[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine_block(reader, act, cf, ss, se, al, eobrun) -> int:
+    """AC band refinement for one block (G.1.2.3): place new +-2^Al
+    coefficients and read one correction bit for every nonzero-history
+    coefficient passed over. Returns the updated end-of-band run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.decode_huff_fast(act)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r < 15:  # EOBn counts this block; sweep then decrement
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: 16 zero-history positions, no new coef
+            else:
+                if s != 1:
+                    raise JpegUnsupported(
+                        "AC refinement amplitude must be 1"
+                    )
+                val = p1 if reader.read_bit() else -p1
+            # advance over r zero-history positions (16 for ZRL),
+            # correcting the nonzero-history coefficients passed over
+            while k <= se:
+                c = int(cf[k])
+                if c != 0:
+                    if reader.read_bit() and (abs(c) & p1) == 0:
+                        cf[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise JpegUnsupported("AC refinement run past band end")
+                cf[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction sweep over the rest of the band
+            c = int(cf[k])
+            if c != 0 and reader.read_bit() and (abs(c) & p1) == 0:
+                cf[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_progressive(content, pos, frame, scan, huff_dc, huff_ac,
+                             restart_interval, ss, se, ah, al, store) -> int:
+    """Entropy-decode one progressive scan into the coefficient store;
+    returns the stream position of the next marker."""
+    comps = frame["comps"]
+    if ss == 0:
+        if se != 0:
+            raise JpegUnsupported("progressive DC scan must have Se=0")
+    else:
+        if len(scan) != 1:
+            raise JpegUnsupported(
+                "progressive AC scan must be single-component"
+            )
+        if se < ss or se > 63:
+            raise JpegUnsupported("bad spectral selection band")
+    if ah != 0 and ah != al + 1:
+        raise JpegUnsupported("successive approximation must step by 1 bit")
+
+    coef = store["coef"]
+    mcux, mcuy = store["mcux"], store["mcuy"]
+    hmax, vmax = store["hmax"], store["vmax"]
+    reader = _BitReader(content, pos)
+    pred = {c["id"]: 0 for c in comps}
+    eobrun = 0
+
+    if len(scan) > 1:
+        # interleaved (DC only): MCU order over the frame grid
+        n_units = mcux * mcuy
+
+        def unit_blocks(u):
+            my, mx = divmod(u, mcux)
+            for comp, td, ta in scan:
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        yield (comp, td, ta,
+                               my * comp["v"] + by, mx * comp["h"] + bx)
+    else:
+        # non-interleaved: raster over the component's own block grid
+        comp0, td0, ta0 = scan[0]
+        cw = -(-frame["w"] * comp0["h"] // hmax)
+        ch = -(-frame["h"] * comp0["v"] // vmax)
+        bw_n, bh_n = -(-cw // 8), -(-ch // 8)
+        n_units = bw_n * bh_n
+
+        def unit_blocks(u):
+            yield comp0, td0, ta0, u // bw_n, u % bw_n
+
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            _restart_align(reader)
+            pred = {c["id"]: 0 for c in comps}
+            eobrun = 0
+        for comp, td, ta, row, colb in unit_blocks(u):
+            cf = coef[comp["id"]][row, colb]
+            if ss == 0:
+                if ah == 0:
+                    dct = huff_dc.get(td)
+                    if dct is None:
+                        raise JpegUnsupported("missing Huffman table")
+                    size = reader.decode_huff_fast(dct)
+                    pred[comp["id"]] += _extend(reader.read_bits(size), size)
+                    cf[0] = pred[comp["id"]] << al
+                else:
+                    if reader.read_bit():
+                        cf[0] |= 1 << al  # two's-complement: negatives ok
+            else:
+                act = huff_ac.get(ta)
+                if act is None:
+                    raise JpegUnsupported("missing Huffman table")
+                if ah == 0:
+                    eobrun = _ac_first_block(
+                        reader, act, cf, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        reader, act, cf, ss, se, al, eobrun
+                    )
+    return _next_marker(content, reader.pos)
+
+
+def _finish_progressive(frame, qtables, store):
+    """Dequantize the accumulated zigzag coefficients and run the same
+    batched IDCT + upsample + color tail as the baseline path."""
+    comps = frame["comps"]
+    hmax, vmax = store["hmax"], store["vmax"]
+    for c in comps:
+        if vmax % c["v"] or hmax % c["h"]:
+            raise JpegUnsupported(
+                f"non-dividing sampling factors {c['h']}x{c['v']} vs "
+                f"{hmax}x{vmax}"
+            )
+    planes = {}
+    for c in comps:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise JpegUnsupported("missing quantization table")
+        zz = store["coef"][c["id"]]
+        gh, gw = zz.shape[:2]
+        nat = np.zeros(zz.shape, dtype=np.float64)
+        nat[:, :, _ZZ_IDX] = zz  # scatter zigzag -> natural order
+        nat *= np.asarray(q, dtype=np.float64)
+        stack = nat.reshape(-1, 8, 8)
+        out = np.matmul(np.matmul(_C.T, stack), _C) + 128.0
+        planes[c["id"]] = (
+            out.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
+    return _planes_to_pixels(frame["w"], frame["h"], comps, hmax, vmax, planes)
 
 
 # -- encoder (fixture builder): baseline, 4:4:4 or grayscale --------------
@@ -560,13 +814,10 @@ def _encode_block(bw, coefs_nat, qzz_arr, pred, dc_enc, ac_enc):
     return zz[0]
 
 
-def encode_jpeg(pixels: bytes, width: int, height: int,
-                channels: int = 3, subsample: bool = False) -> bytes:
-    """Minimal deterministic baseline encoder (Annex K quantization +
-    Huffman tables) for building real-JPEG fixtures without a codec
-    library. ``subsample=True`` emits 4:2:0 color (Y at 2x2 sampling,
-    box-averaged chroma) — the common camera layout, and the fixture
-    that exercises the decoder's upsampling path."""
+def _encoder_setup(pixels, width, height, channels, subsample):
+    """Shared fixture-encoder front half: color convert + (optional)
+    chroma downsample + table selection. Returns
+    (comp_planes, samps, qids, qtabs, hids, qzz, qzz_arr)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     arr = (
@@ -610,6 +861,19 @@ def encode_jpeg(pixels: bytes, width: int, height: int,
     # constants are natural order; DQT payloads must be zigzag (T.81 B.2.4.1)
     qzz = {tq: [nat[ZIGZAG[zi]] for zi in range(64)] for tq, nat in qtabs.items()}
     qzz_arr = {tq: np.array(z, dtype=np.float64) for tq, z in qzz.items()}
+    return comp_planes, samps, qids, qtabs, hids, qzz, qzz_arr
+
+
+def encode_jpeg(pixels: bytes, width: int, height: int,
+                channels: int = 3, subsample: bool = False) -> bytes:
+    """Minimal deterministic baseline encoder (Annex K quantization +
+    Huffman tables) for building real-JPEG fixtures without a codec
+    library. ``subsample=True`` emits 4:2:0 color (Y at 2x2 sampling,
+    box-averaged chroma) — the common camera layout, and the fixture
+    that exercises the decoder's upsampling path."""
+    comp_planes, samps, qids, qtabs, hids, qzz, qzz_arr = _encoder_setup(
+        pixels, width, height, channels, subsample
+    )
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -678,5 +942,244 @@ def encode_jpeg(pixels: bytes, width: int, height: int,
                         )
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# -- progressive encoder (fixture builder): spectral selection +
+#    successive approximation, per T.81 Annex G encoding procedures -------
+
+
+def _quantized_grids(comp_planes, samps, qids, qzz_arr, mcux, mcuy):
+    """Quantized zigzag-order coefficient grids per component, padded to
+    the interleaved MCU geometry with edge replication — identical
+    forward DCT/quantize math to the baseline encoder's per-block path,
+    so the same pixels produce the same quantized coefficients in both
+    fixture formats."""
+    grids = []
+    for ci, plane in enumerate(comp_planes):
+        hsamp, vsamp = samps[ci]
+        gh, gw = mcuy * vsamp, mcux * hsamp
+        ph, pw = plane.shape
+        g = np.zeros((gh, gw, 64), dtype=np.int64)
+        q = qzz_arr[qids[ci]]
+        for rowb in range(gh):
+            ys = np.clip(np.arange(rowb * 8, rowb * 8 + 8), 0, ph - 1)
+            for colb in range(gw):
+                xs = np.clip(np.arange(colb * 8, colb * 8 + 8), 0, pw - 1)
+                coefs = _fdct2(plane[np.ix_(ys, xs)] - 128.0).reshape(-1)
+                g[rowb, colb] = np.rint(coefs[_ZZ_IDX] / q).astype(np.int64)
+        grids.append(g)
+    return grids
+
+
+def _emit_ac_first(bw, ac_enc, band, al):
+    """One block's AC band, first scan (point transform |v| >> al,
+    sign preserved); per-block EOB0, no cross-block EOB runs."""
+    t = [
+        (abs(int(v)) >> al) * (1 if v > 0 else -1) if v else 0
+        for v in band
+    ]
+    run = 0
+    last_nz = max((i for i, v in enumerate(t) if v), default=-1)
+    for i, v in enumerate(t):
+        if i > last_nz:
+            length, code = ac_enc[0x00]  # EOB0
+            bw.write(code, length)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_enc[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, pattern = _mag(v)
+        length, code = ac_enc[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(pattern, size)
+        run = 0
+
+
+def _emit_ac_refine(bw, ac_enc, band, al):
+    """One block's AC band refinement (G.1.2.3 encoder side): new +-2^Al
+    coefficients become (run, 1) symbols + a sign bit; every
+    nonzero-history coefficient passed over contributes one buffered
+    correction bit, flushed after each emitted symbol."""
+    run = 0
+    buf: list[int] = []
+
+    def flush():
+        for bit in buf:
+            bw.write(bit, 1)
+        buf.clear()
+
+    pending = False  # any zero-run/corrections not yet closed by a symbol
+    for v in band:
+        v = int(v)
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            pending = True
+            continue
+        # ZRL must be emitted on arrival at ANY nonzero coefficient —
+        # including history ones, BEFORE buffering their correction bit.
+        # The decoder's ZRL advance reads correction bits only for
+        # history coefficients located before the 16th skipped zero, so
+        # a correction buffered for a later position must not ride the
+        # ZRL's flush (it desyncs the bit stream by one).
+        while run > 15:
+            length, code = ac_enc[0xF0]
+            bw.write(code, length)
+            flush()
+            run -= 16
+        if t > 1:  # history coefficient: correction bit = bit Al of |v|
+            buf.append(t & 1)
+            pending = True
+            continue
+        # newly visible +-1 at this precision
+        length, code = ac_enc[(run << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if v > 0 else 0, 1)
+        flush()
+        run = 0
+        pending = False
+    if pending or buf:
+        length, code = ac_enc[0x00]  # EOB0: corrections ride behind it
+        bw.write(code, length)
+        flush()
+
+
+def encode_progressive(pixels: bytes, width: int, height: int,
+                       channels: int = 3, subsample: bool = False,
+                       dc_split: int = 1, ac_split: int = 1,
+                       ac_bands: tuple = ((1, 5), (6, 63))) -> bytes:
+    """Progressive (SOF2) fixture encoder: interleaved DC first scan at
+    Al=``dc_split`` + DC refinement scans down to 0, then per-component
+    AC spectral-selection scans over ``ac_bands`` at Al=``ac_split``
+    followed by AC refinement scans — exercising EOB runs, point
+    transforms, and the G.1.2.3 correction-bit algorithm. Decoding this
+    stream must yield pixels byte-identical to decoding the baseline
+    encoding of the same input (same quantized coefficients by
+    construction; pinned in tests/test_jpeg.py)."""
+    comp_planes, samps, qids, qtabs, hids, qzz, qzz_arr = _encoder_setup(
+        pixels, width, height, channels, subsample
+    )
+    ncomp = len(comp_planes)
+    hmax = max(hs for hs, _ in samps)
+    vmax = max(vs for _, vs in samps)
+    mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    grids = _quantized_grids(comp_planes, samps, qids, qzz_arr, mcux, mcuy)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    for tq in sorted(qzz):
+        seg(0xDB, bytes([tq]) + bytes(qzz[tq]))
+    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for ci in range(ncomp):
+        hsamp, vsamp = samps[ci]
+        sof += bytes([ci + 1, (hsamp << 4) | vsamp, qids[ci]])
+    seg(0xC2, bytes(sof))  # SOF2: progressive DCT
+    tables = (
+        [(0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA)]
+        if channels == 1
+        else [
+            (0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA),
+            (0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA),
+        ]
+    )
+    for tci, (counts, symbols) in tables:
+        seg(0xC4, bytes([tci]) + bytes(counts) + bytes(symbols))
+
+    dc_l = _build_huff_encode(*STD_DC_LUMA)
+    dc_c = _build_huff_encode(*STD_DC_CHROMA)
+    ac_l = _build_huff_encode(*STD_AC_LUMA)
+    ac_c = _build_huff_encode(*STD_AC_CHROMA)
+    dc_encs = [dc_l] + [dc_c] * (ncomp - 1)
+    ac_encs = [ac_l] + [ac_c] * (ncomp - 1)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        hdr = bytearray([len(comp_ids)])
+        for ci in comp_ids:
+            td, ta = hids[ci]
+            hdr += bytes([ci + 1, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(hdr))
+
+    def mcu_block_iter():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hsamp, vsamp = samps[ci]
+                    for by in range(vsamp):
+                        for bx in range(hsamp):
+                            yield ci, my * vsamp + by, mx * hsamp + bx
+
+    # scan 1: interleaved DC first at Al=dc_split (diffs of v >> Al)
+    sos_header(list(range(ncomp)), 0, 0, 0, dc_split)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for ci, rowb, colb in mcu_block_iter():
+        v = int(grids[ci][rowb, colb, 0]) >> dc_split
+        size, pattern = _mag(v - preds[ci])
+        preds[ci] = v
+        length, code = dc_encs[ci][size]
+        bw.write(code, length)
+        if size:
+            bw.write(pattern, size)
+    bw.flush()
+    out.extend(bw.out)
+
+    # DC refinement scans: one raw bit per block per precision level
+    for al in range(dc_split - 1, -1, -1):
+        sos_header(list(range(ncomp)), 0, 0, al + 1, al)
+        bw = _BitWriter()
+        for ci, rowb, colb in mcu_block_iter():
+            bw.write((int(grids[ci][rowb, colb, 0]) >> al) & 1, 1)
+        bw.flush()
+        out.extend(bw.out)
+
+    def comp_block_dims(ci):
+        hsamp, vsamp = samps[ci]
+        cw = -(-width * hsamp // hmax)
+        ch = -(-height * vsamp // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    # AC spectral-selection first scans at Al=ac_split, per component
+    for ci in range(ncomp):
+        bh_n, bw_n = comp_block_dims(ci)
+        for ss, se in ac_bands:
+            sos_header([ci], ss, se, 0, ac_split)
+            bw = _BitWriter()
+            for rowb in range(bh_n):
+                for colb in range(bw_n):
+                    _emit_ac_first(
+                        bw, ac_encs[ci],
+                        grids[ci][rowb, colb, ss : se + 1], ac_split,
+                    )
+            bw.flush()
+            out.extend(bw.out)
+
+    # AC refinement scans down to full precision
+    for al in range(ac_split - 1, -1, -1):
+        for ci in range(ncomp):
+            bh_n, bw_n = comp_block_dims(ci)
+            for ss, se in ac_bands:
+                sos_header([ci], ss, se, al + 1, al)
+                bw = _BitWriter()
+                for rowb in range(bh_n):
+                    for colb in range(bw_n):
+                        _emit_ac_refine(
+                            bw, ac_encs[ci],
+                            grids[ci][rowb, colb, ss : se + 1], al,
+                        )
+                bw.flush()
+                out.extend(bw.out)
+
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

@@ -817,6 +817,59 @@ def s6jpeg_oracle(sf_dir: str) -> str:
     )
 
 
+def s6prog_oracle(sf_dir: str) -> str:
+    """Pure twin of harness.s6_progressive_jpeg (progressive codec pinned
+    by the hand-assembled SOF2 goldens in tests/test_jpeg_progressive.py).
+    Recomputes the features AND the progressive==baseline decode-equality
+    flag in pure Python."""
+    import numpy as np
+
+    from .operators.multimodal import (
+        baseline_twin_of_progressive,
+        image_features_payload,
+        pack_progressive_jpeg_asset,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pydict()
+    lits = []
+    for doc_id, n_chars in zip(t["doc_id"], t["n_chars"]):
+        if doc_id >= 30:
+            continue
+        aid = str(doc_id)
+        prog = pack_progressive_jpeg_asset(aid, int(n_chars))
+        base = baseline_twin_of_progressive(aid, int(n_chars))
+        dp = image_features_payload(prog)
+        db = image_features_payload(base)
+        feat_sum = 0.0
+        for v in dp["feature"]:
+            feat_sum += float(np.float32(v))
+        match = (
+            dp["feature"] == db["feature"]
+            and dp["sample_b64"] == db["sample_b64"]
+        )
+        lits.append(
+            (
+                _sql_str(aid),
+                f"CAST({dp['width']} AS BIGINT)",
+                f"CAST({dp['height']} AS BIGINT)",
+                f"CAST({dp['out_width']} AS BIGINT)",
+                f"CAST({dp['out_height']} AS BIGINT)",
+                f"CAST({len(prog)} AS BIGINT)",
+                f"CAST({_round_half_up(feat_sum, 4)!r} AS DOUBLE)",
+                "TRUE" if match else "FALSE",
+            )
+        )
+    return _values_sql(
+        lits,
+        [
+            "asset_id", "width", "height", "out_width", "out_height",
+            "prog_bytes", "feat_sum", "feat_match",
+        ],
+    )
+
+
 def s6reenc_oracle(sf_dir: str) -> str:
     """Pure twin of harness.s6_reencode_chain."""
     from .operators.multimodal import (
@@ -1007,6 +1060,7 @@ _LITERAL_BUILDERS = {
     "s6_image_features": s6_oracle,
     "s6_png_features": s6png_oracle,
     "s6_jpeg_features": s6jpeg_oracle,
+    "s6_progressive_jpeg": s6prog_oracle,
     "s6_reencode_chain": s6reenc_oracle,
     "sim_pq_topk": pq_topk_oracle,
     "sim_ivfpq_topk": ivfpq_topk_oracle,

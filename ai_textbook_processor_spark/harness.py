@@ -931,6 +931,47 @@ def dd_simhash(spark, sf_dir):
     return simhash_signatures(d, "doc_id", "text", bits=16)
 
 
+@query(
+    "dd_paragraph_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), paras AS (
+      SELECT doc_id, i AS pidx,
+             array_to_string(w[(i*4+1):(i*4+4)], ' ') AS para
+      FROM toks, UNNEST(range(CAST(ceil(len(w)/4.0) AS BIGINT))) AS t(i)
+    ), hot AS (
+      SELECT para FROM paras GROUP BY para
+      HAVING count(DISTINCT doc_id) >= 3
+    ), flagged AS (
+      SELECT p.doc_id, p.pidx, p.para, h.para IS NOT NULL AS is_hot
+      FROM paras p LEFT JOIN hot h USING (para)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) FILTER (WHERE NOT is_hot) AS BIGINT) AS kept_paras,
+           CAST(length(coalesce(
+             array_to_string(list(para ORDER BY pidx) FILTER (WHERE NOT is_hot), ' '),
+             '')) AS BIGINT) AS cleaned_len,
+           md5(coalesce(
+             array_to_string(list(para ORDER BY pidx) FILTER (WHERE NOT is_hot), ' '),
+             '')) AS cleaned_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dd_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level boilerplate scrub (CCNet/RefinedWeb line dedup):
+    strip every exact 4-word paragraph that appears in >= 3 distinct
+    documents, rebuild each document in original paragraph order, and pin
+    every byte of the reassembly with an md5. The hot set is a broadcast
+    heavy-hitter table; the corpus-wide paragraph frame is scanned twice
+    rather than materialized (operators.dedup.paragraph_dedup)."""
+    from .operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(d, "doc_id", "text", para_words=4, min_docs=3)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (ANN: brute-force top-k baseline +
 # LSH-bucketed scale path)
@@ -3636,6 +3677,78 @@ def s6_jpeg_features(spark, sf_dir):
             ),
             4,
         ).alias("feat_sum"),
+    )
+
+
+@query("s6_progressive_jpeg")  # literal oracle via golden_oracle.py
+def s6_progressive_jpeg(spark, sf_dir):
+    """REAL progressive (SOF2) JPEG pixels end-to-end (r5:
+    functions/jpeg.py — DC successive approximation, spectral-selection
+    AC bands, EOB runs, G.1.2.3 refinement correction bits; pinned by
+    hand-assembled bitstream goldens in test_jpeg_progressive.py).
+    Deterministic progressive assets run the same decode -> aspect-fit ->
+    luminance-grid pipeline as baseline JPEG, and each row additionally
+    proves the T.81 invariant IN-PLAN: decoding the progressive stream
+    yields pixels byte-identical to decoding the baseline encoding of the
+    same input (both encoders share one forward DCT/quantize path), so
+    ``feat_match`` must be true for every asset. The literal oracle
+    recomputes every value, including the equality check, in pure
+    Python."""
+    import pandas as pd
+
+    from .operators.multimodal import (
+        baseline_twin_of_progressive,
+        image_features_payload,
+        pack_progressive_jpeg_asset,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30).select(
+        F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                aid, n = rec.asset_id, int(rec.n_chars)
+                prog = pack_progressive_jpeg_asset(aid, n)
+                base = baseline_twin_of_progressive(aid, n)
+                dp = image_features_payload(prog)
+                db = image_features_payload(base)
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "width": dp["width"],
+                        "height": dp["height"],
+                        "out_width": dp["out_width"],
+                        "out_height": dp["out_height"],
+                        "prog_bytes": len(prog),
+                        "feature": dp["feature"],
+                        "feat_match": dp["feature"] == db["feature"]
+                        and dp["sample_b64"] == db["sample_b64"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "asset_id string, width int, height int, out_width int, "
+        "out_height int, prog_bytes int, feature array<float>, "
+        "feat_match boolean"
+    )
+    return d.mapInPandas(run, schema).select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+        F.col("prog_bytes").cast("long").alias("prog_bytes"),
+        F.round(
+            F.aggregate(
+                "feature", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("feat_sum"),
+        "feat_match",
     )
 
 

@@ -419,3 +419,72 @@ def ngram_jaccard_pairs(
         .limit(top_k)
         .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_words: int = 4,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Paragraph-level (line-level) dedup, the CCNet/RefinedWeb boilerplate
+    scrub the reference's per-document pipeline never needed but any
+    web-scale corpus does: split each document into fixed-width word
+    chunks ("paragraphs"), count how many DISTINCT documents each exact
+    paragraph appears in, and strip every paragraph that crosses the
+    ``min_docs`` threshold from every document, preserving original
+    paragraph order in the survivors.
+
+    Scale shape (100 TB): the corpus-wide paragraph frame is huge and is
+    deliberately NOT checkpointed — it is scanned twice instead (once to
+    find the hot set, once to rebuild documents). The hot set is a
+    heavy-hitter set (paragraphs repeated across >= min_docs docs), small
+    by construction, and is broadcast; the per-document rebuild is then a
+    single hash aggregation. No sort-the-corpus step, no WindowExec, no
+    all-pairs anything. Lambdas touch only their own variables
+    (plans/lint.py HOF rule).
+
+    Returns one row per input document: paragraph totals, survivor count,
+    and length + md5 of the cleaned text (the md5 pins every byte of the
+    reassembly for the DuckDB oracle).
+    """
+    toks = docs.select(
+        id_col, F.posexplode(F.split(text_col, " ")).alias("pos", "tok")
+    )
+    paras = toks.groupBy(
+        id_col, F.floor(F.col("pos") / para_words).alias("pidx")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("para")
+    )
+    hot = (
+        paras.groupBy("para")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("para")
+    )
+    flagged = paras.join(
+        F.broadcast(hot.withColumn("is_hot", F.lit(True))), "para", "left"
+    ).withColumn("is_hot", F.coalesce("is_hot", F.lit(False)))
+    cleaned = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("pidx", "para", "is_hot"))),
+                lambda x: ~x["is_hot"],
+            ),
+            lambda x: x["para"],
+        ),
+        " ",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_paras"),
+        F.count(F.when(~F.col("is_hot"), 1)).alias("kept_paras"),
+        F.length(cleaned).cast("long").alias("cleaned_len"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )

@@ -11,16 +11,18 @@ No codec library ships in this container, so every decoder here is
 from-scratch pure Python (r3-r4):
 
 * REAL formats, decoded end to end: PNG (functions/png.py, stdlib zlib),
-  baseline JPEG (functions/jpeg.py, T.81 with hand-assembled conformance
-  goldens), RIFF/WAV 16-bit PCM audio, and Motion-JPEG AVI video — plus
-  the reference's full image chain (decode -> flatten -> aspect-fit ->
-  downscale -> JPEG re-encode -> base64, image_reencode_payload).
+  baseline AND progressive JPEG (functions/jpeg.py, T.81 with
+  hand-assembled conformance goldens; progressive added r5), RIFF/WAV
+  16-bit PCM audio, and Motion-JPEG AVI video — plus the reference's
+  full image chain (decode -> flatten -> aspect-fit -> downscale ->
+  JPEG re-encode -> base64, image_reencode_payload).
 * SYNTHETIC formats (magic ATPS/ATPA/ATPV): deterministic xorshift
   payloads that exercise every batch path with cheap fixtures; their
   oracles predate the real codecs and stay byte-identical.
-* QUARANTINED: genuinely out-of-profile inputs (progressive JPEG,
-  compressed audio, inter-frame video codecs) raise NotImplementedError
-  per-asset into the error column — never a crashed batch.
+* QUARANTINED: genuinely out-of-profile inputs (arithmetic-coded or
+  12-bit JPEG, compressed audio, inter-frame video codecs) raise
+  NotImplementedError per-asset into the error column — never a
+  crashed batch.
 """
 
 from __future__ import annotations
@@ -135,13 +137,13 @@ def png_features_payload(content: bytes) -> dict:
 
 
 def jpeg_features_payload(content: bytes) -> dict:
-    """REAL pixel path for baseline JPEG (r4: functions/jpeg.py — pure
-    Python T.81 baseline decoder, conformance-pinned by hand-assembled
-    bitstream goldens): decode -> RGB normalize -> aspect-fit ->
-    area-average downscale -> 4x4 luminance-grid features, identical
-    post-pipeline to PNG. Out-of-profile JPEGs (progressive, 12-bit)
-    raise JpegUnsupported (a NotImplementedError) into the quarantine
-    channel."""
+    """REAL pixel path for JPEG (r4 baseline, r5 progressive:
+    functions/jpeg.py — pure Python T.81 decoder, conformance-pinned by
+    hand-assembled bitstream goldens): decode -> RGB normalize ->
+    aspect-fit -> area-average downscale -> 4x4 luminance-grid features,
+    identical post-pipeline to PNG. Out-of-profile JPEGs (arithmetic,
+    12-bit) raise JpegUnsupported (a NotImplementedError) into the
+    quarantine channel."""
     from ..functions.jpeg import decode_jpeg
     from ..functions.png import (
         flatten_to_rgb,
@@ -222,6 +224,54 @@ def pack_jpeg_asset(asset_id: str, n_chars: int) -> bytes:
     planes = [base, (base + 40) % 200 + 28, (base + 90) % 200 + 28]
     px = np.stack(planes, axis=-1).astype(np.uint8).tobytes()
     return encode_jpeg(px, w, h, 3, subsample=(mode == 2))
+
+
+def _prog_fixture_pixels(asset_id: str, n_chars: int):
+    """Shared deterministic pixel generator for the progressive fixture
+    and its baseline decode-equality twin: (pixels, w, h, channels,
+    subsample, progressive_kwargs)."""
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.md5(asset_id.encode()).digest()[8:12], "big")
+    mode = seed % 3  # 0 gray, 1 color 4:4:4, 2 color 4:2:0
+    if seed % 7 == 0:
+        w, h = 760 + seed % 140, 560 + seed % 90
+    else:
+        w, h = 24 + n_chars % 40, 18 + (n_chars * 3) % 30
+    ys = np.arange(h, dtype=np.float64)[:, None]
+    xs = np.arange(w, dtype=np.float64)[None, :]
+    base = (ys * 2.0 + xs * 3.0 + seed % 89) % 200 + 28
+    bands = (((1, 5), (6, 63)), ((1, 2), (3, 20), (21, 63)))[seed % 2]
+    kw = {"dc_split": 1 + seed % 2, "ac_split": seed % 3, "ac_bands": bands}
+    if mode == 0:
+        return base.astype(np.uint8).tobytes(), w, h, 1, False, kw
+    planes = [base, (base + 40) % 200 + 28, (base + 90) % 200 + 28]
+    px = np.stack(planes, axis=-1).astype(np.uint8).tobytes()
+    return px, w, h, 3, mode == 2, kw
+
+
+def pack_progressive_jpeg_asset(asset_id: str, n_chars: int) -> bytes:
+    """Deterministic REAL progressive (SOF2) JPEG fixture: the same
+    gradient-pixel family as :func:`pack_jpeg_asset` but encoded with
+    rotating successive-approximation splits and spectral-selection band
+    layouts, so every decoder path (DC refinement, EOB runs, G.1.2.3 AC
+    correction bits) runs on harness data. Pure function shared by the
+    harness query and the literal oracle."""
+    from ..functions.jpeg import encode_progressive
+
+    px, w, h, ch, sub, kw = _prog_fixture_pixels(asset_id, n_chars)
+    return encode_progressive(px, w, h, ch, subsample=sub, **kw)
+
+
+def baseline_twin_of_progressive(asset_id: str, n_chars: int) -> bytes:
+    """Baseline (SOF0) encoding of the exact pixels inside
+    :func:`pack_progressive_jpeg_asset`. Both encoders share one forward
+    DCT/quantize path, so decoding either stream must yield byte-identical
+    pixels — the harness query asserts that per asset."""
+    from ..functions.jpeg import encode_jpeg
+
+    px, w, h, ch, sub, _ = _prog_fixture_pixels(asset_id, n_chars)
+    return encode_jpeg(px, w, h, ch, subsample=sub)
 
 
 def pack_png_asset(asset_id: str, n_chars: int) -> bytes:
