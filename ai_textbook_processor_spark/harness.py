@@ -972,6 +972,46 @@ def dd_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(d, "doc_id", "text", para_words=4, min_docs=3)
 
 
+@query(
+    "dd_substring_dupfrac",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+    ), hot AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ), covered AS (
+      SELECT g.doc_id, CAST(count(DISTINCT g.pos + o) AS BIGINT) AS dup_tokens
+      FROM grams g JOIN hot h USING (gram),
+           UNNEST(generate_series(0, 7)) AS u(o)
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           coalesce(c.dup_tokens, 0) AS dup_tokens,
+           CASE WHEN len(t.ws) > 0
+                THEN round(coalesce(c.dup_tokens, 0) * 1.0 / len(t.ws), 5)
+                ELSE 0.0 END AS dup_frac
+    FROM toks t LEFT JOIN covered c USING (doc_id)
+    """,
+)
+def dd_substring_dupfrac(spark, sf_dir):
+    """Exact-substring duplication coverage (Lee et al. 2107.06499,
+    k-gram formulation): fraction of each document's tokens covered by an
+    exact 8-token gram shared with another document. Hot grams come from
+    one countDistinct aggregation; coverage is a hash join + per-doc
+    distinct position count — no suffix array, no global sort
+    (operators.dedup.substring_dup_coverage)."""
+    from .operators.dedup import substring_dup_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_dup_coverage(d, "doc_id", "text", k=8, min_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (ANN: brute-force top-k baseline +
 # LSH-bucketed scale path)

@@ -421,6 +421,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def substring_dup_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the exact-substring
+    dedup metric of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499), shingle-approximated: a
+    token is "duplicated" when it is covered by at least one exact
+    ``k``-token gram that also appears in >= ``min_docs`` distinct
+    documents. The suffix-array construction of the paper is a single-node
+    algorithm; the k-gram formulation computes the same coverage set for
+    runs >= k tokens (any duplicated run of length L >= k is covered by
+    exactly L-k+1 shared k-grams) with only hash aggregations.
+
+    Scale shape (100 TB): grams are never collected — the hot-gram table
+    is the output of one countDistinct aggregation (heavy hitters only,
+    >= min_docs docs), and the coverage pass is a hash join on the gram
+    key followed by a per-doc distinct count. No suffix array, no global
+    sort, no all-pairs. The gram explode is O(tokens) rows per doc and the
+    coverage explode O(tokens * k); both are map-side before their
+    aggregations. At the 100 TB tier the join key would be a 64-bit
+    rolling hash of the gram instead of the string (collision odds ~1e-8)
+    to cut shuffle bytes; the string key is kept here for exact oracle
+    parity. Shingling reuses the lambda-safe shifted-slice zip
+    (_shingle_expr) — plans/lint.py HOF rule.
+
+    Returns one row per input document: doc id, token count, duplicated
+    token count, and round(dup/total, 5) coverage fraction.
+    """
+    toks = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), 0)
+    base = docs.select(id_col, toks.alias("ws"))
+    sizes = base.select(id_col, F.size("ws").cast("long").alias("n_tokens"))
+    grams = base.select(
+        id_col, F.posexplode(_shingle_expr(F.col("ws"), k)).alias("pos", "gram")
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(hot, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("idx"),
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("idx").cast("long").alias("dup_tokens"))
+    )
+    dup = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return sizes.join(covered, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        dup.alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0, F.round(dup / F.col("n_tokens"), 5)
+        ).otherwise(F.lit(0.0)).alias("dup_frac"),
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
