@@ -973,6 +973,81 @@ def dd_paragraph_dedup(spark, sf_dir):
 
 
 @query(
+    "dd_incremental_minhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ), words AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS w
+        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+      )
+    ), hashes AS (
+      SELECT doc_id, {{h}} AS h FROM words
+    ), sigs AS (
+      SELECT doc_id,
+             min((1299721 * h + 104729) % 2147483647) AS s0,
+             min((15485863 * h + 32452843) % 2147483647) AS s1,
+             min((49979687 * h + 899809363) % 2147483647) AS s2,
+             min((104395301 * h + 512927357) % 2147483647) AS s3
+      FROM hashes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, s0 AS sig FROM sigs
+      UNION ALL SELECT doc_id, 1, s1 FROM sigs
+      UNION ALL SELECT doc_id, 2, s2 FROM sigs
+      UNION ALL SELECT doc_id, 3, s3 FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_other
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND b.doc_id < a.doc_id
+      WHERE a.doc_id >= 250
+    ), ver AS (
+      SELECT doc_new, doc_other,
+             ((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END)) AS m
+      FROM cand
+      JOIN sigs sa ON cand.doc_new = sa.doc_id
+      JOIN sigs sb ON cand.doc_other = sb.doc_id
+    ), best AS (
+      SELECT doc_new, min(doc_other) AS dup_of,
+             round(arg_min(m, doc_other) / 4.0, 2) AS est_jaccard
+      FROM ver WHERE m >= 3 GROUP BY doc_new
+    )
+    SELECT d.doc_id, b.dup_of IS NOT NULL AS is_dup,
+           CAST(b.dup_of AS BIGINT) AS dup_of, b.est_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+    LEFT JOIN best b ON b.doc_new = d.doc_id
+    """.format(h=_SQL_WORD_HASH.format(c="w")),
+)
+def dd_incremental_minhash(spark, sf_dir):
+    """Incremental near-dedup of a new crawl batch (doc_id >= 250) against
+    a COMMITTED minhash signature index built from the prior corpus
+    (doc_id < 250) — the index is read as (id, s0..s3) rows and never
+    re-tokenized, so daily ingest cost scales with the batch, not the
+    corpus (operators.dedup.incremental_minhash_dedup). Candidates come
+    from the band-bucket join of new bands vs (index ∪ new) bands with
+    other_id < new_id; >= 3/4 matching components verifies; dup_of is the
+    minimum matching id (keep-first)."""
+    from .operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # in production this frame is a table the previous run committed
+    index_sigs = minhash_signatures(
+        d.where(F.col("doc_id") < 250), "doc_id", "text", shingle_n=3
+    )
+    return incremental_minhash_dedup(
+        d.where(F.col("doc_id") >= 250), index_sigs,
+        min_matches=3, shingle_n=3,
+    )
+
+
+@query(
     "dd_substring_dupfrac",
     """
     WITH toks AS (

@@ -236,6 +236,104 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    coefs=tuple(MH_COEFS),
+    min_matches: int = 3,
+    shingle_n: int = 1,
+    broadcast_new: bool = False,
+) -> DataFrame:
+    """Incremental near-dedup: match an incoming batch against a COMMITTED
+    signature index without touching the committed corpus text. This is
+    the shape a daily-crawl ingest needs at 100 TB — re-minhashing the
+    whole corpus per batch is O(corpus) every day; reading the persisted
+    (id, s0..sK-1) signature table and banding it is O(index rows) of
+    column-pruned scan with zero tokenization, so ingest cost scales with
+    the BATCH, not the corpus.
+
+    ``index_sigs`` is the committed index (one row per kept doc,
+    s0..s{K-1} columns, as produced by ``minhash_signatures`` — in
+    production a table written by the previous run). New-batch signatures
+    are computed once; candidates come from the band-bucket join of the
+    new bands against (index ∪ new) bands restricted to other_id <
+    new_id, so a brand-new duplicate pair keeps its smaller id and
+    index matches always win (index ids precede batch ids). Verification
+    counts exact component agreement >= ``min_matches`` — identical
+    semantics to ``minhash_lsh_pairs``. With ``broadcast_new`` the
+    (small) new-batch band table broadcasts into the index join so the
+    billion-row index never shuffles.
+
+    Returns one row per new doc: id, ``is_dup``, ``dup_of`` (the minimum
+    matching id, null when none) and that pair's ``est_jaccard``.
+    """
+    k = len(coefs)
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, coefs, shingle_n)
+    if shingle_n > 1 or k > 8:  # same materialization heuristic as lsh_pairs
+        new_sigs = new_sigs.localCheckpoint(eager=False)
+
+    def _bands(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            id_col,
+            F.posexplode(F.array(*[f"s{i}" for i in range(k)])).alias(
+                "band", "sig"
+            ),
+        )
+
+    bands_new = _bands(new_sigs)
+    if broadcast_new:
+        bands_new = F.broadcast(bands_new)
+    bands_other = _bands(index_sigs).unionByName(_bands(new_sigs))
+    cand = (
+        bands_new.alias("a")
+        .join(
+            bands_other.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_new"),
+            F.col(f"b.{id_col}").alias("doc_other"),
+        )
+        .distinct()
+    )
+    all_sigs = index_sigs.unionByName(new_sigs)
+    matches = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    ver = (
+        cand.join(
+            new_sigs.alias("sa"), F.col("doc_new") == F.col(f"sa.{id_col}")
+        )
+        .join(
+            all_sigs.alias("sb"), F.col("doc_other") == F.col(f"sb.{id_col}")
+        )
+        .where(matches >= min_matches)
+        .select(
+            "doc_new", "doc_other",
+            F.round(matches / F.lit(float(k)), 2).alias("est"),
+        )
+    )
+    best = ver.groupBy("doc_new").agg(
+        F.min("doc_other").alias("dup_of"),
+        F.min_by("est", "doc_other").alias("est_jaccard"),
+    )
+    return (
+        new_docs.select(id_col)
+        .join(best, F.col(id_col) == F.col("doc_new"), "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+            "est_jaccard",
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:
