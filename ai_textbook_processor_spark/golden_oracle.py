@@ -1048,6 +1048,105 @@ def bpe_encode_oracle(sf_dir: str) -> str:
     return _values_sql(lits, ["doc_id", "n_tokens", "tok_hash"])
 
 
+@functools.lru_cache(maxsize=4)
+def _logreg_pure(sf_dir: str):
+    """Pure twin of operators.classifier (featurize_docs + logreg_fit +
+    score_expr) over the documents table, label y = (lang == 'en').
+
+    Replicates the Spark float discipline exactly: integer hashed counts,
+    left-fold dot product in feature order, algebraic sigmoid
+    0.5 + (0.5*t)/(1+|t|), HALF_UP fixed-point gradient quantization
+    (int64 sums are order-free, so a per-doc Python loop and a distributed
+    aggregate land on the same integers), and the pinned update
+    parenthesization w - lr*((G/Q)/n_docs).
+
+    Returns (weights, bias, per-iter correct counts, scores) where scores
+    is [(doc_id, y, p)] for every doc with >= 1 Latin token."""
+    from .operators.classifier import DIM, GRAD_SCALE
+
+    dim, iters, lr, q = DIM, 4, 2.0, GRAD_SCALE
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pydict()
+    rows = []
+    for doc_id, text, lang in zip(t["doc_id"], t["text"], t["lang"]):
+        toks = _AZ_RE.findall((text or "").lower())
+        if not toks:
+            continue
+        c = [0] * dim
+        for w_ in toks:
+            c[_word_hash(w_) % dim] += 1
+        rows.append((int(doc_id), 1.0 if lang == "en" else 0.0, len(toks), c))
+
+    def sig(tv: float) -> float:
+        return 0.5 + (0.5 * tv) / (1.0 + abs(tv))
+
+    def prob(n: int, c: list, w: list, b: float) -> float:
+        acc = 0.0
+        for wj, cj in zip(w, c):
+            acc = acc + wj * cj
+        return sig(b + acc / n)
+
+    w, b = [0.0] * dim, 0.0
+    history = []
+    nd = len(rows)
+    for _ in range(iters):
+        g, gb, ok = [0] * dim, 0, 0
+        for _id, y, n, c in rows:
+            p = prob(n, c, w, b)
+            err = p - y
+            for j in range(dim):
+                g[j] += int(_round_half_up((err * (c[j] / n)) * float(q), 0))
+            gb += int(_round_half_up(err * float(q), 0))
+            ok += 1 if (p >= 0.5) == (y >= 0.5) else 0
+        history.append(ok)
+        w = [w[j] - lr * ((g[j] / q) / nd) for j in range(dim)]
+        b = b - lr * ((gb / q) / nd)
+    scores = [(_id, y, prob(n, c, w, b)) for _id, y, n, c in rows]
+    return w, b, history, scores
+
+
+def qc_fit_oracle(sf_dir: str) -> str:
+    w, b, _hist, _scores = _logreg_pure(sf_dir)
+    lits = [
+        (
+            f"CAST({j} AS BIGINT)",
+            f"CAST({_round_half_up(wj, 8)!r} AS DOUBLE)",
+        )
+        for j, wj in enumerate(w)
+    ] + [(f"CAST(-1 AS BIGINT)", f"CAST({_round_half_up(b, 8)!r} AS DOUBLE)")]
+    return _values_sql(lits, ["feature", "weight"])
+
+
+def qc_score_oracle(sf_dir: str) -> str:
+    _w, _b, _hist, scores = _logreg_pure(sf_dir)
+    top = sorted(scores, key=lambda r: (-r[2], r[0]))[:15]
+    lits = [
+        (
+            f"CAST({doc_id} AS BIGINT)",
+            f"CAST({int(y)} AS BIGINT)",
+            f"CAST({_round_half_up(p, 6)!r} AS DOUBLE)",
+        )
+        for doc_id, y, p in top
+    ]
+    return _values_sql(lits, ["doc_id", "y_true", "score"])
+
+
+def qc_eval_oracle(sf_dir: str) -> str:
+    _w, _b, hist, scores = _logreg_pure(sf_dir)
+    tp = sum(1 for _i, y, p in scores if y >= 0.5 and p >= 0.5)
+    fp = sum(1 for _i, y, p in scores if y < 0.5 and p >= 0.5)
+    fn = sum(1 for _i, y, p in scores if y >= 0.5 and p < 0.5)
+    tn = sum(1 for _i, y, p in scores if y < 0.5 and p < 0.5)
+    vals = [tp, fp, fn, tn, len(scores)] + hist
+    cols = ["tp", "fp", "fn", "tn", "n_docs"] + [
+        f"ok_it{i}" for i in range(1, len(hist) + 1)
+    ]
+    return _values_sql(
+        [tuple(f"CAST({v} AS BIGINT)" for v in vals)], cols
+    )
+
+
 _LITERAL_BUILDERS = {
     "x1_extract_pipeline": x1_oracle,
     "x2_extract_span_stats": x2_oracle,
@@ -1070,6 +1169,9 @@ _LITERAL_BUILDERS = {
     "mm_video_mjpeg": mm_mjpeg_oracle,
     "txt_bpe_train": bpe_train_oracle,
     "txt_bpe_encode": bpe_encode_oracle,
+    "qc_logreg_fit": qc_fit_oracle,
+    "qc_logreg_score": qc_score_oracle,
+    "qc_logreg_eval": qc_eval_oracle,
 }
 
 
