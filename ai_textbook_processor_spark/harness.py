@@ -1897,6 +1897,65 @@ def dd_embed_neardup(spark, sf_dir):
     )
 
 
+_SEMDEDUP_SEEDS = (3, 47, 101, 163, 227, 283, 349, 419)
+
+
+@query(
+    "dd_semdedup",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cemb,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS cnrm
+      FROM embeddings WHERE vec_id IN {_SEMDEDUP_SEEDS}
+    ), vecs AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)
+                            for x in generate_series(1, {_EMB_DIM})])) AS nrm
+      FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, embedding, nrm, cid FROM (
+        SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_sum([CAST(v.embedding[x] AS DOUBLE) * CAST(c.cemb[x] AS DOUBLE)
+                                    for x in generate_series(1, {_EMB_DIM})])
+                          / (v.nrm * c.cnrm) DESC, c.cid
+               ) AS rnk
+        FROM vecs v CROSS JOIN cents c
+      ) WHERE rnk = 1
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+       AND list_sum([CAST(a.embedding[x] AS DOUBLE) * CAST(b.embedding[x] AS DOUBLE)
+                     for x in generate_series(1, {_EMB_DIM})])
+           / (a.nrm * b.nrm) >= 0.35
+    )
+    SELECT s.vec_id AS id, s.cid, (d.vec_id IS NOT NULL) AS is_dup
+    FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """,
+)
+def dd_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings to the max-cosine
+    seed centroid, then prune within-cluster semantic near-dups — a vector
+    is dropped iff a lower-id cluster-mate has cosine >= tau.  The
+    pairwise step is cid-co-located (sum n_c^2, never N^2), the keep rule
+    is a LEFT SEMI join, and no window materializes on the Spark side
+    (operators/dedup.py semantic_dedup).  tau=0.35 here because the
+    synthetic embeddings carry no true near-dup pairs (max within-cluster
+    cosine ~0.47 at sf0.01); production tau is ~0.95."""
+    from .operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id").isin(*_SEMDEDUP_SEEDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    return semantic_dedup(
+        e.select("vec_id", "embedding"), cents, tau=0.35
+    ).select(F.col("id"), F.col("cid"), F.col("is_dup"))
+
+
 @query(
     "sim_ivf_topk",
     f"""

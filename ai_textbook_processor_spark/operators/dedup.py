@@ -652,3 +652,66 @@ def paragraph_dedup(
         F.length(cleaned).cast("long").alias("cleaned_len"),
         F.md5(cleaned).alias("cleaned_md5"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate pruning, clustered so the pairwise step never goes
+    corpus-wide.
+
+    1. Assign every vector to its max-cosine centroid
+       (:func:`..operators.similarity.ivf_assign` — broadcast centroids,
+       map-side ``max_by``, exchange carries 1 row/vector).
+    2. Within each cluster only, mark a vector a DUPLICATE if some
+       lower-id cluster-mate has cosine >= ``tau`` with it (the paper
+       keeps one representative per semantic group; lowest id is the
+       deterministic, engine-portable keep rule).
+
+    Returns ``(id, cid, is_dup)`` for every vector.
+
+    Scale shape: the self-join key is ``cid``, so the shuffle co-locates
+    each cluster and pair work is sum(n_c^2) instead of N^2 — the paper's
+    own trick (they run K=50k clusters on LAION so n_c stays ~1e3). The
+    LEFT SEMI join means dropped-vector ids never ride a wide row, and no
+    window/sort materializes. Skew guard at 100 TB: cap n_c by splitting
+    hot cells on a salt of the id, exactly like the LSH hot-bucket cap
+    (minhash_lsh_pairs).
+    """
+    from .similarity import dot, ivf_assign, norm
+
+    emb_d = F.col(vec_col).cast("array<double>")
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, "cosine").select(
+        F.col(id_col).alias("id"),
+        emb_d.alias("emb"),
+        F.sqrt(dot(emb_d, emb_d)).alias("nrm"),
+        "cid",
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    dup_ids = (
+        b.join(
+            a,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (cos >= F.lit(tau)),
+            "left_semi",
+        )
+        .select(F.col("b.id").alias("id"), F.lit(True).alias("is_dup"))
+    )
+    return (
+        assigned.select("id", "cid")
+        .join(dup_ids, "id", "left")
+        .select(
+            "id", "cid", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+        )
+    )
