@@ -3514,6 +3514,251 @@ def txt_corpus_logprob(spark, sf_dir):
     return corpus_logprob(d, "doc_id", "text")
 
 
+def _synth_url_spark(d):
+    """Deterministic raw-URL fixture over documents (both engines derive
+    it identically from doc_id/source): four cosmetic variants of
+    https://{source}.example.org/articles/{doc_id%50} — www + trailing
+    slash, unique utm junk + unsorted kept params, default port + unique
+    fragment, bare — plus a schemeless malformed row every 97 ids."""
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    path = F.concat(F.lit("/articles/"), (F.col("doc_id") % 50).cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(F.col("doc_id") % 97 == 0,
+               F.concat(F.lit("article "), F.col("doc_id").cast("string")))
+        .when(v == 0, F.concat(F.lit("https://WWW."), host, path, F.lit("/")))
+        .when(v == 1, F.concat(F.lit("https://"), host, path,
+                               F.lit("?utm_campaign=c"),
+                               F.col("doc_id").cast("string"),
+                               F.lit("&b=2&a=1")))
+        .when(v == 2, F.concat(F.lit("http://"), host, F.lit(":80"), path,
+                               F.lit("#frag-"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("https://"), host, path))
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+_SYNTH_URL_SQL = """
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 97 = 0 THEN 'article ' || CAST(doc_id AS VARCHAR)
+             WHEN doc_id % 4 = 0 THEN
+               'https://WWW.' || source || '.example.org/articles/'
+               || CAST(doc_id % 50 AS VARCHAR) || '/'
+             WHEN doc_id % 4 = 1 THEN
+               'https://' || source || '.example.org/articles/'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || '?utm_campaign=c' || CAST(doc_id AS VARCHAR) || '&b=2&a=1'
+             WHEN doc_id % 4 = 2 THEN
+               'http://' || source || '.example.org:80/articles/'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || '#frag-' || CAST(doc_id AS VARCHAR)
+             ELSE
+               'https://' || source || '.example.org/articles/'
+               || CAST(doc_id % 50 AS VARCHAR)
+           END AS url
+    FROM documents
+"""
+
+
+def _url_canon_oracle_sql() -> str:
+    from .functions.url import canonical_url_sql
+
+    return f"""
+    WITH raw AS ({_SYNTH_URL_SQL}),
+    canon AS (
+      SELECT doc_id, url, {canonical_url_sql('url')} AS canon_url FROM raw
+    )
+    SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw
+    FROM canon GROUP BY canon_url
+    """
+
+
+@query("url_canon_dedup", _url_canon_oracle_sql())
+def url_canon_dedup(spark, sf_dir):
+    """URL canonicalization + exact-URL dedup (functions/url.py): fold the
+    cosmetic variants every crawl produces (case, www, default port,
+    trailing slash, tracking params, param order, fragments) into one
+    canonical form, then hash-groupBy it — raw URLs that differ only by
+    utm junk or a fragment collapse to one kept doc (lowest id).
+    Canonicalization is a row-local codegen'd expression (regexp + array
+    built-ins, no UDF); the dedup is one shuffle on the canonical string.
+    Malformed rows (no scheme) pass through as themselves — quarantine
+    identity, never an error.  The DuckDB oracle re-derives every
+    canonical form via an independently-written SQL twin
+    (canonical_url_sql)."""
+    from .functions.url import canonical_url
+
+    d = _t(spark, sf_dir, "documents")
+    raw = _synth_url_spark(d)
+    return (
+        raw.withColumn("canon_url", canonical_url("url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.countDistinct("url").cast("long").alias("n_raw"),
+        )
+    )
+
+
+@query(
+    "txt_ppl_buckets",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ), dcounts AS (
+      SELECT doc_id, w, count(*) AS dc FROM words GROUP BY 1, 2
+    ), vocab AS (
+      SELECT w, CAST(sum(dc) AS BIGINT) AS c FROM dcounts GROUP BY w
+    ), tot AS (SELECT sum(c) AS corpus_total FROM vocab),
+    scored AS (
+      SELECT doc_id,
+             round(log2((SELECT corpus_total FROM tot))
+                   - sum(dc * log2(c)) / sum(dc), 5) AS neg_logprob
+      FROM dcounts JOIN vocab USING (w)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, d.lang, s.neg_logprob,
+           CAST(ntile(3) OVER (
+             PARTITION BY d.lang ORDER BY s.neg_logprob, s.doc_id
+           ) AS BIGINT) AS ppl_bucket
+    FROM scored s JOIN documents d USING (doc_id)
+    """,
+)
+def txt_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    doc with the corpus-unigram LM (functions.text.corpus_logprob), then
+    split each LANGUAGE into head/middle/tail terciles of the score —
+    bucket 1 is the fluent head a pretraining mix keeps, bucket 3 the
+    garbage tail it drops.  The tercile is ntile over the ROUNDED score
+    with a doc_id tiebreak, so the sort key is bit-identical across
+    engines.  Scale: the window partitions by lang, so one giant language
+    still sorts in one partition — a production run swaps ntile for
+    approx_percentile cutoffs broadcast back (same downstream shape,
+    different quantile estimator), which is why the exact-ntile form is
+    the oracle-checked one here.  The reference has no corpus-relative
+    quality signal at all (its gate is per-doc heuristic only)."""
+    from .functions.text import corpus_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    scored = corpus_logprob(d).join(d.select("doc_id", "lang"), "doc_id")
+    w = W.partitionBy("lang").orderBy("neg_logprob", "doc_id")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "neg_logprob",
+        F.ntile(3).over(w).cast("long").alias("ppl_bucket"),
+    )
+
+
+# DSIR target domain for the harness query: two named sources stand in
+# for the curated target sample (Wikipedia/books in the paper)
+DSIR_TARGET_SOURCES = ("src0", "src1")
+DSIR_K = 100
+
+
+@query(
+    "samp_dsir_select",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source IN {DSIR_TARGET_SOURCES} AS t,
+             regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, t, unnest(w) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, t,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS g
+      FROM toks
+    ), counts AS (
+      SELECT doc_id, t,
+             CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % 256 AS b,
+             count(*) AS dc
+      FROM grams GROUP BY 1, 2, 3
+    ), model AS (
+      SELECT b,
+             sum(CASE WHEN t THEN dc ELSE 0 END) AS ct,
+             sum(CASE WHEN NOT t THEN dc ELSE 0 END) AS cr
+      FROM counts GROUP BY b
+    ), tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM model),
+    lr AS (
+      SELECT b, ln((ct + 1.0) / (tt + 256)) - ln((cr + 1.0) / (tr + 256)) AS lr
+      FROM model, tot
+    ), scored AS (
+      SELECT c.doc_id, CAST(sum(c.dc) AS BIGINT) AS n_grams,
+             round(sum(c.dc * lr.lr) / sum(c.dc), 5) AS logw
+      FROM counts c JOIN lr USING (b) WHERE NOT c.t
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_grams, logw FROM scored
+    ORDER BY logw DESC, doc_id LIMIT {DSIR_K}
+    """,
+)
+def samp_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py; Xie et al. 2023):
+    rank the raw pool by the hashed-ngram log importance ratio against the
+    target sources and take the top-k — the standard "make 100 TB of crawl
+    look like the curated set" selection step.  The bucket hash is the
+    cross-engine md5-slice idiom, smoothing is integer Laplace, and the
+    score is rounded before it becomes the sort key, so DuckDB re-derives
+    the identical ranking from scratch.  Plan: one exploded-gram exchange
+    (map-side combined), two <=256-row broadcast models, top-k via
+    TakeOrderedAndProject.  The reference processes its inputs unselected
+    (/root/reference/routes/route.py)."""
+    from .operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        d, F.col("source").isin(*DSIR_TARGET_SOURCES), k=DSIR_K
+    )
+
+
+@query(
+    "samp_temperature_mix",
+    """
+    WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    z AS (SELECT sum(pow(n_docs, 0.3)) AS z FROM n),
+    q AS (
+      SELECT source, n_docs, pow(n_docs, 0.3) / z AS w,
+             CAST(floor(200.0 * pow(n_docs, 0.3) / z + 0.000001) AS BIGINT) AS quota
+      FROM n, z
+    ), kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN q USING (source)
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+                 AS BIGINT) % 10000
+            < 10000.0 * q.quota / q.n_docs
+    ), ka AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+      FROM kept GROUP BY source
+    )
+    SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs, round(q.w, 5) AS weight,
+           q.quota, COALESCE(ka.n_kept, 0) AS n_kept,
+           COALESCE(ka.kept_id_sum, 0) AS kept_id_sum
+    FROM q LEFT JOIN ka USING (source)
+    """,
+)
+def samp_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixing (operators/sampling.py
+    temperature_mix; the n_s^alpha multinomial rule of mBERT/XLM-R/mT5):
+    per-source quotas from alpha=0.3 weights, membership by the
+    deterministic id-hash threshold — a scan-side predicate with no
+    window, no shuffle of the corpus, quota approximation traded for
+    100 TB-safe planning.  The oracle pins the kept MEMBERSHIP (count +
+    id_sum per source), not just sizes.  The reference has no mixing
+    control at all."""
+    from .operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mix(d, alpha=0.3, n_keep=200)
+
+
 # deterministic BPE hyperparameters, shared with golden_oracle's twins
 BPE_MERGES = 48
 BPE_MIN_COUNT = 2

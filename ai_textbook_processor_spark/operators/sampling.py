@@ -62,3 +62,76 @@ def stratified_sample(
     """Keep each row of stratum s with probability ``rates[s]`` (else
     ``default_rate``), decided by the row's own id hash."""
     return df.where(sample_keep_expr(strata_col, rates, id_col, default_rate))
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.3,
+    n_keep: int = 200,
+) -> DataFrame:
+    """Temperature-based source mixing (the multinomial-with-temperature
+    upsampling rule of mBERT/XLM-R/mT5 — Xue et al. 2021 §3.1, there over
+    languages): mixing weight of source s is
+
+        w_s = n_s^alpha / sum_t n_t^alpha
+
+    so alpha<1 flattens the head and boosts tail sources.  Each source's
+    quota is floor(n_keep * w_s); membership is the repo's deterministic
+    hash rule — keep a row iff
+
+        sample_hash(id) < 10000 * quota_s / n_s
+
+    a pure scan-side predicate (the exact-quota variant needs a
+    rank-within-source window; the hash-threshold form keeps E[kept] =
+    quota with zero shuffle and survives any corpus size — same trade
+    documented on ``stratified_sample``).  The kept SET is deterministic
+    and engine-independent even though its size only approximates the
+    quota, so the oracle pins the membership itself.
+
+    Returns one row per source: n_docs, weight (rounded display copy),
+    quota, n_kept, id_sum of the kept rows (membership pin).  The whole
+    job is two model-sized aggregates over (source) plus one broadcast
+    join — raw text never moves.
+    """
+    n = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    denom = n.agg(F.sum(F.pow("n_docs", F.lit(alpha))).alias("z"))
+    # floor() with a 1e-6 guard: a symmetric corpus (k equal sources) puts
+    # n_keep*w_s EXACTLY on an integer in real arithmetic, where the raw
+    # floor flips with each engine's (and each run's partition-order!)
+    # last-ulp summation noise in z — the epsilon absorbs the ~1e-13 noise
+    # while no small-denominator rational lands within 1e-6 below an
+    # integer
+    quotas = n.crossJoin(F.broadcast(denom)).select(
+        source_col,
+        "n_docs",
+        (F.pow("n_docs", F.lit(alpha)) / F.col("z")).alias("w"),
+        F.floor(
+            F.lit(float(n_keep)) * F.pow("n_docs", F.lit(alpha)) / F.col("z")
+            + F.lit(1e-6)
+        ).cast("long").alias("quota"),
+    )
+    kept = (
+        df.select(source_col, id_col)
+        .join(F.broadcast(quotas), source_col)
+        .where(
+            sample_hash(id_col)
+            < F.lit(float(_BUCKETS)) * F.col("quota") / F.col("n_docs")
+        )
+    )
+    kept_agg = kept.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(id_col).cast("long").alias("kept_id_sum"),
+    )
+    return (
+        quotas.join(kept_agg, source_col, "left")
+        .select(
+            source_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("w", 5).alias("weight"),
+            "quota",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias("kept_id_sum"),
+        )
+    )
