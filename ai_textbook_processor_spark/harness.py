@@ -3759,6 +3759,38 @@ def samp_temperature_mix(spark, sf_dir):
     return temperature_mix(d, alpha=0.3, n_keep=200)
 
 
+@query(
+    "tp4_shard_manifest",
+    """
+    WITH s AS (
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) % 10000 % 16 AS shard,
+             doc_id
+      FROM documents
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM s GROUP BY shard
+    """,
+)
+def tp4_shard_manifest(spark, sf_dir):
+    """Deterministic shard-export manifest (operators/export.py): shard
+    membership is a pure function of the row id (md5-slice mod n_shards),
+    never of partition layout or seed — so retries, re-runs, and both
+    engines agree on every shard's exact contents.  This query is the
+    manifest aggregate the writer must reproduce; test_export drives the
+    actual write (one file per shard via repartition(n, shard) +
+    partitionBy) and the write-then-verify read-back.  The reference
+    exports documents one-at-a-time over HTTP
+    (/root/reference/routes/route.py) — no bulk artifact."""
+    from .operators.export import shard_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    return shard_manifest(d, "doc_id", n_shards=16)
+
+
 # deterministic BPE hyperparameters, shared with golden_oracle's twins
 BPE_MERGES = 48
 BPE_MIN_COUNT = 2
