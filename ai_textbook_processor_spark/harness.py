@@ -3760,6 +3760,84 @@ def samp_temperature_mix(spark, sf_dir):
 
 
 @query(
+    "samp_split_assign",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             CASE WHEN h < 9000 THEN 'train'
+                  WHEN h < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) % 10000 AS h
+            FROM documents)
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM a GROUP BY split
+    """,
+)
+def samp_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split (sampling.hash_split):
+    assignment is a scan-side CASE over the id hash — stable across runs,
+    task retries, partition layouts, and engines, which randomSplit
+    cannot promise (it reshuffles with the lineage and can drop/dup rows
+    between actions).  Oracle pins per-split membership (count +
+    id_sum)."""
+    from .operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", hash_split("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+def _leakage_split_oracle() -> str:
+    """Reuses the dd_dup_clusters recursive-CTE oracle verbatim as the
+    cluster source, then re-derives rep + split independently."""
+    return f"""
+    WITH clusters AS ({ORACLES['dd_dup_clusters']}),
+    docs AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep
+      FROM docs d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, rep,
+           CASE WHEN h < 9000 THEN 'train'
+                WHEN h < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, rep,
+                 CAST('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 12)
+                      AS BIGINT) % 10000 AS h
+          FROM rep)
+    """
+
+
+@query("samp_leakage_split", _leakage_split_oracle())
+def samp_leakage_split(spark, sf_dir):
+    """Leakage-safe split (sampling.leakage_safe_split): hash the
+    duplicate-CLUSTER representative instead of the doc id, so a test
+    document's near-copy can never sit in train — the contamination mode
+    a plain per-doc split invites and the dedup literature warns about
+    (Lee et al. 2022 §6).  Clusters come from the same MinHash-LSH +
+    min-label-propagation pipeline as dd_dup_clusters; singletons
+    represent themselves.  The oracle recomputes clusters via recursive
+    CTE, then rep + split independently — equality proves both engines
+    put every cluster member in one split."""
+    from .operators.dedup import duplicate_clusters, minhash_lsh_pairs
+    from .operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", min_matches=3)
+    return leakage_safe_split(d, duplicate_clusters(pairs))
+
+
+@query(
     "tp4_shard_manifest",
     """
     WITH s AS (

@@ -135,3 +135,60 @@ def temperature_mix(
             F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias("kept_id_sum"),
         )
     )
+
+
+def hash_split(
+    id_col: str | Column,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05),
+    ),
+) -> Column:
+    """Deterministic train/val/test assignment: a CASE over cumulative
+    id-hash thresholds — every row gets exactly one split, the same one
+    on every run/retry/engine, with no shuffle and no seed plumbing
+    (``randomSplit`` guarantees none of this: its assignment depends on
+    partition layout and can even drop/duplicate rows between actions).
+    Fractions are (name, fraction) in priority order; they must sum to 1.
+    """
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = sample_hash(id_col)
+    expr = None
+    acc = 0.0
+    for name, frac in fractions[:-1]:
+        acc += frac
+        cond = h < int(round(acc * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = fractions[-1][0]
+    return (F.lit(last) if expr is None else expr.otherwise(last)).alias(
+        "split"
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05),
+    ),
+) -> DataFrame:
+    """Split that cannot leak near-duplicates across the train/test
+    boundary: hash the duplicate-CLUSTER representative, not the doc id,
+    so every member of a near-dup cluster lands in the same split (the
+    contamination mode a plain per-doc split invites — a test doc's
+    near-copy sitting in train).  ``clusters`` is (id, cluster_id) from
+    ``dedup.duplicate_clusters``; singletons (absent there) represent
+    themselves.  One broadcast-or-shuffle join with the (small) cluster
+    table, then a scan-side CASE — the splitter adds no window and no
+    extra pass over text."""
+    rep = (
+        df.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("rep"),
+        )
+    )
+    return rep.select(id_col, "rep", hash_split("rep", fractions))
