@@ -3026,9 +3026,9 @@ def ev_stream_dedup(spark, sf_dir):
     )
 
 
-@query(
-    "pk_sequence_packing",
-    """
+# the deterministic-packing CTE, shared by pk_sequence_packing and
+# tp5_pack_export so the two oracles cannot drift
+_PK_PACKED_SQL = """
     WITH toks AS (
       SELECT doc_id,
              CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
@@ -3043,6 +3043,13 @@ def ev_stream_dedup(spark, sf_dir):
              ), 0) / 512.0) AS BIGINT) AS bin_idx
       FROM toks
     )
+"""
+
+
+@query(
+    "pk_sequence_packing",
+    _PK_PACKED_SQL
+    + """
     SELECT bucket, bin_idx, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
     FROM packed GROUP BY bucket, bin_idx
@@ -3061,6 +3068,59 @@ def pk_sequence_packing(spark, sf_dir):
         "doc_id", token_count("text").alias("n_tokens")
     )
     return bin_stats(pack_bins(d, budget=512, n_buckets=8))
+
+
+@query(
+    "tp5_pack_export",
+    _PK_PACKED_SQL
+    + """
+    , sharded AS (
+      SELECT bucket, bin_idx, n_tokens,
+             CAST('0x' || substr(md5(CAST(bucket AS VARCHAR) || ':'
+                                     || CAST(bin_idx AS VARCHAR)), 1, 12)
+                  AS BIGINT) % 10000 % 8 AS shard
+      FROM packed
+    )
+    SELECT shard,
+           CAST(count(DISTINCT CAST(bucket AS VARCHAR) || ':'
+                             || CAST(bin_idx AS VARCHAR)) AS BIGINT) AS n_bins,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM sharded GROUP BY shard
+    """,
+)
+def tp5_pack_export(spark, sf_dir):
+    """The corpus -> training-shards capstone: deterministic sequence
+    packing (operators/packing.pack_bins) composed with deterministic
+    shard assignment (operators/export shard idiom) — shards are keyed on
+    the BIN, not the document, so a packed training sequence is never
+    split across shard files (the invariant a loader requires).  Every
+    stage is a pure row/window function of ids: re-runs, retries, and
+    both engines produce identical shards.  The write path is
+    export_shards partitioned on this shard column; the oracle pins the
+    manifest (bins/docs/tokens per shard) that write must reproduce.
+    Shares the packing CTE with pk_sequence_packing so the two oracles
+    cannot drift."""
+    from .functions.text import token_count
+    from .operators.packing import pack_bins
+    from .operators.sampling import sample_hash
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_bins(d, budget=512, n_buckets=8)
+    bin_key = F.concat_ws(
+        ":", F.col("bucket").cast("string"), F.col("bin_idx").cast("string")
+    )
+    return (
+        packed.withColumn("shard", sample_hash(bin_key) % 8)
+        .groupBy("shard")
+        .agg(
+            F.countDistinct(bin_key).cast("long").alias("n_bins"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
 
 
 @query(
