@@ -96,3 +96,22 @@ def canonical_url_sql(expr: str) -> str:
         f"{scheme} || '://' || {host} || {path} || "
         f"CASE WHEN {kept} <> '' THEN '?' || {kept} ELSE '' END END"
     )
+
+
+#: host component of a CANONICAL url (scheme-stripped, port-stripped);
+#: '' for malformed passthrough rows — same value both engines
+_DOMAIN_RE = r"^[a-z]+://([^/:?#]*)"
+
+
+def url_domain(canon: Column | str) -> Column:
+    """Registrable host of a canonical URL ('' when the row was malformed
+    passthrough) — the grouping key for domain blocklists and per-domain
+    caps."""
+    c = F.col(canon) if isinstance(canon, str) else canon
+    return F.regexp_extract(c, _DOMAIN_RE, 1)
+
+
+def url_domain_sql(expr: str) -> str:
+    """DuckDB twin of :func:`url_domain` (regexp_extract returns '' on
+    no-match in both engines)."""
+    return f"regexp_extract({expr}, '{_DOMAIN_RE}', 1)"

@@ -3715,6 +3715,59 @@ def txt_ppl_buckets(spark, sf_dir):
     )
 
 
+# domain blocklist for the gate query: two of the synthetic hosts
+URL_BLOCKLIST = ("src2.example.org", "src5.example.org")
+
+
+def _url_blocklist_oracle_sql() -> str:
+    from .functions.url import canonical_url_sql, url_domain_sql
+
+    return f"""
+    WITH raw AS ({_SYNTH_URL_SQL}),
+    canon AS (
+      SELECT doc_id, {canonical_url_sql('url')} AS canon_url FROM raw
+    ), dom AS (
+      SELECT doc_id, {url_domain_sql('canon_url')} AS domain FROM canon
+    )
+    SELECT domain, domain IN {URL_BLOCKLIST} AS blocked,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM dom GROUP BY 1, 2
+    """
+
+
+@query("url_blocklist_gate", _url_blocklist_oracle_sql())
+def url_blocklist_gate(spark, sf_dir):
+    """Domain blocklist gate — the first filter every crawl pipeline runs
+    (RefinedWeb §3.1 'URL filtering'): canonicalize, extract the
+    registrable host (functions/url.url_domain), and flag rows whose
+    domain is on the blocklist via a broadcast join (the blocklist is a
+    dimension table of at most millions of rows against 10^12 documents
+    — never a shuffle of the corpus side).  Malformed rows group under
+    domain '' and are never blocked — the quarantine channel, not a
+    crash.  The oracle re-derives canonical form, domain, and verdict
+    from scratch and pins kept/blocked MEMBERSHIP per domain (count +
+    id_sum)."""
+    from .functions.url import canonical_url, url_domain
+
+    d = _t(spark, sf_dir, "documents")
+    block = spark.createDataFrame(
+        [(b,) for b in URL_BLOCKLIST], "domain string"
+    ).withColumn("blocked", F.lit(True))
+    dom = _synth_url_spark(d).select(
+        "doc_id", url_domain(canonical_url("url")).alias("domain")
+    )
+    return (
+        dom.join(F.broadcast(block), "domain", "left")
+        .withColumn("blocked", F.coalesce("blocked", F.lit(False)))
+        .groupBy("domain", "blocked")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
 # DSIR target domain for the harness query: two named sources stand in
 # for the curated target sample (Wikipedia/books in the paper)
 DSIR_TARGET_SOURCES = ("src0", "src1")

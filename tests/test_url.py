@@ -92,3 +92,37 @@ def test_sql_twin_matches_spark(canon_fn):
         ).fetchall()
     ]
     assert spark_out == sql_out
+
+
+def test_url_domain(canon_fn, spark):
+    from pyspark.sql import functions as F
+    from ai_textbook_processor_spark.functions.url import (
+        canonical_url,
+        url_domain,
+        url_domain_sql,
+    )
+
+    cases = [
+        ("https://WWW.Site.COM/a", "site.com"),
+        ("http://x.org:8080/a", "x.org"),   # non-default port stripped from domain
+        ("https://a.b.c.net/p?q=1#f", "a.b.c.net"),
+        ("not a url", ""),                   # malformed passthrough -> ''
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["d"]
+        for r in df.select(url_domain(canonical_url("url")).alias("d")).collect()
+    ]
+    assert got == [w for _, w in cases]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in cases])
+    from ai_textbook_processor_spark.functions.url import canonical_url_sql
+
+    sql_out = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {url_domain_sql(canonical_url_sql('url'))} FROM t"
+        ).fetchall()
+    ]
+    assert sql_out == got
