@@ -3955,15 +3955,15 @@ def samp_leakage_split(spark, sf_dir):
     """
     WITH s AS (
       SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
-                  AS BIGINT) % 10000 % 16 AS shard,
-             doc_id
+                  AS BIGINT) % 10000 AS h,
+             CAST(doc_id AS VARCHAR) AS sid
       FROM documents
     )
-    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(doc_id) AS BIGINT) AS id_sum,
-           CAST(min(doc_id) AS BIGINT) AS min_id,
-           CAST(max(doc_id) AS BIGINT) AS max_id
-    FROM s GROUP BY shard
+    SELECT h % 16 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(h) AS BIGINT) AS id_hash_sum,
+           min(sid) AS min_id,
+           max(sid) AS max_id
+    FROM s GROUP BY h % 16
     """,
 )
 def tp4_shard_manifest(spark, sf_dir):

@@ -87,6 +87,20 @@ def main(argv: list[str] | None = None) -> int:
         "content_type (grouped_topk — no per-domain window sort)",
     )
     ap.add_argument(
+        "--split",
+        default=None,
+        help="clean-corpus: deterministic train/val/test fractions as "
+        "'train=0.9,val=0.05,test=0.05' (hash of doc_id; leakage-safe "
+        "because the dedup stages upstream already removed near-dups)",
+    )
+    ap.add_argument(
+        "--export-shards",
+        type=int,
+        default=None,
+        help="clean-corpus: write each split as N deterministic shards "
+        "(one file per shard, verified manifest) under OUT/shards/<split>",
+    )
+    ap.add_argument(
         "--sink", choices=("parquet", "noop"), default="parquet",
         help="noop: execute the full plan but discard output (isolates "
         "extraction throughput from the writer in bench runs)",
@@ -200,9 +214,52 @@ def main(argv: list[str] | None = None) -> int:
             mix_default_rate=args.mix_default,
             domain_cap=args.domain_cap,
         )
-        cleaned.drop("text").write.mode("overwrite").parquet(
-            f"{args.out}/cleaned"
-        )
+        splits_summary = None
+        if args.split or args.export_shards:
+            from ai_textbook_processor_spark.operators.sampling import (
+                hash_split,
+            )
+
+            fr = (
+                tuple(
+                    (k, float(v))
+                    for k, v in (kv.split("=") for kv in args.split.split(","))
+                )
+                if args.split
+                else (("train", 1.0),)
+            )
+            final = cleaned.drop("text").select("*", hash_split("doc_id", fr))
+            splits_summary = {}
+            if args.export_shards:
+                from ai_textbook_processor_spark.operators.export import (
+                    export_shards,
+                )
+
+                for name, _frac in fr:
+                    man = export_shards(
+                        final.where(F.col("split") == name).drop("split"),
+                        f"{args.out}/shards/{name}",
+                        n_shards=args.export_shards,
+                    )
+                    splits_summary[name] = {
+                        "n_docs": sum(m["n_docs"] for m in man),
+                        "n_shards": len(man),
+                        "n_files": sum(m["n_files"] for m in man),
+                    }
+            else:
+                final.write.mode("overwrite").partitionBy("split").parquet(
+                    f"{args.out}/cleaned"
+                )
+                splits_summary = {
+                    r["split"]: {"n_docs": int(r["n"])}
+                    for r in final.groupBy("split")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+        else:
+            cleaned.drop("text").write.mode("overwrite").parquet(
+                f"{args.out}/cleaned"
+            )
         wall = time.monotonic() - t0
         stages = {r["stage"]: int(r["n"]) for r in funnel.collect()}
         final_stage = (
@@ -214,20 +271,19 @@ def main(argv: list[str] | None = None) -> int:
             if benchmark is not None
             else "after_near_dedup"
         )
-        print(
-            json.dumps(
-                {
-                    "mode": "clean_corpus",
-                    "funnel": stages,
-                    "docs_total": stages.get("input", 0),
-                    "docs_kept": stages.get(final_stage, 0),
-                    "wall_sec": round(wall, 3),
-                    "docs_per_sec": (
-                        round(stages.get("input", 0) / wall, 3) if wall > 0 else None
-                    ),
-                }
-            )
-        )
+        payload = {
+            "mode": "clean_corpus",
+            "funnel": stages,
+            "docs_total": stages.get("input", 0),
+            "docs_kept": stages.get(final_stage, 0),
+            "wall_sec": round(wall, 3),
+            "docs_per_sec": (
+                round(stages.get("input", 0) / wall, 3) if wall > 0 else None
+            ),
+        }
+        if splits_summary is not None:
+            payload["splits"] = splits_summary
+        print(json.dumps(payload))
         spark.stop()
         return 0
 

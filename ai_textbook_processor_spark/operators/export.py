@@ -40,21 +40,32 @@ def shard_id(id_col: str | Column, n_shards: int) -> Column:
     return (sample_hash(id_col) % n_shards).alias("shard")
 
 
+def _manifest_aggs(id_col: str) -> list[Column]:
+    """Manifest columns that work for ANY id type (the corpus generator's
+    ids are strings like 'doc-0000000010-html', the testdata tables use
+    bigints): the checksum sums the id's own 48-bit hash bucket instead
+    of the id, and the span columns are lexicographic over the string
+    form — identical semantics in DuckDB."""
+    sid = F.col(id_col).cast("string")
+    return [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(sample_hash(id_col)).cast("long").alias("id_hash_sum"),
+        F.min(sid).alias("min_id"),
+        F.max(sid).alias("max_id"),
+    ]
+
+
 def shard_manifest(
     df: DataFrame, id_col: str = "doc_id", n_shards: int = 16
 ) -> DataFrame:
-    """The export manifest: one row per shard with count + id checksum +
-    id span.  Pure aggregate — runs without writing anything, and is what
-    the oracle pins (the write below must reproduce it exactly)."""
+    """The export manifest: one row per shard with count + id-hash
+    checksum + id span.  Pure aggregate — runs without writing anything,
+    and is what the oracle pins (the write below must reproduce it
+    exactly)."""
     return (
         df.select(shard_id(id_col, n_shards), F.col(id_col))
         .groupBy("shard")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum(id_col).cast("long").alias("id_sum"),
-            F.min(id_col).cast("long").alias("min_id"),
-            F.max(id_col).cast("long").alias("max_id"),
-        )
+        .agg(*_manifest_aggs(id_col))
     )
 
 
@@ -87,14 +98,7 @@ def export_shards(
     expect = {r["shard"]: r.asDict() for r in shard_manifest(df, id_col, n_shards).collect()}
     got = {
         r["shard"]: r.asDict()
-        for r in back.groupBy("shard")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum(id_col).cast("long").alias("id_sum"),
-            F.min(id_col).cast("long").alias("min_id"),
-            F.max(id_col).cast("long").alias("max_id"),
-        )
-        .collect()
+        for r in back.groupBy("shard").agg(*_manifest_aggs(id_col)).collect()
     }
     if expect != got:
         raise RuntimeError(

@@ -27,17 +27,39 @@ def docs(spark):
     )
 
 
+def _py_hash(i) -> int:
+    """Python twin of sampling.sample_hash for the checksum assertion."""
+    import hashlib
+
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) % 10_000
+
+
 def test_export_writes_one_file_per_shard_and_verifies(docs):
     with tempfile.TemporaryDirectory() as out:
         manifest = export_shards(docs, out, n_shards=SHARDS)
         assert [m["shard"] for m in manifest] == list(range(SHARDS))
         assert sum(m["n_docs"] for m in manifest) == N
-        assert sum(m["id_sum"] for m in manifest) == N * (N - 1) // 2
+        assert sum(m["id_hash_sum"] for m in manifest) == sum(
+            _py_hash(i) for i in range(N)
+        )
         for m in manifest:
             assert m["n_files"] == 1, m
         # full row fidelity through the written files
         back = docs.sparkSession.read.parquet(out)
         assert sorted(r["doc_id"] for r in back.collect()) == list(range(N))
+
+
+def test_export_string_ids(spark):
+    """The corpus generator's ids are strings — the manifest must not
+    assume numeric ids (regression: sum(doc_id) cast-crashed on
+    'doc-0000000010-high_grade')."""
+    docs = spark.range(50).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id")
+    )
+    with tempfile.TemporaryDirectory() as out:
+        manifest = export_shards(docs, out, id_col="doc_id", n_shards=4)
+        assert sum(m["n_docs"] for m in manifest) == 50
+        assert all(m["min_id"].startswith("doc-") for m in manifest)
 
 
 def test_membership_is_layout_independent(docs):

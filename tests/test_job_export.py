@@ -1,0 +1,53 @@
+"""job --clean-corpus --split --export-shards: the full corpus->shards
+surface, driven exactly as a user would (own interpreter, own session)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(out_dir: str) -> dict:
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "ai_textbook_processor_spark.job",
+            "--n-docs", "600", "--out", out_dir,
+            "--master", "local[4]",
+            "--clean-corpus", "--min-quality", "0.0",
+            "--grade-lo", "-100", "--grade-hi", "100",
+            "--split", "train=0.9,val=0.05,test=0.05",
+            "--export-shards", "4",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_clean_corpus_split_export(tmp_path):
+    out = str(tmp_path / "run1")
+    payload = _run(out)
+    splits = payload["splits"]
+    assert set(splits) == {"train", "val", "test"}
+    # every kept doc lands in exactly one split
+    assert sum(s["n_docs"] for s in splits.values()) == payload["docs_kept"]
+    # one file per shard, 4 shards per split, on disk
+    for name, s in splits.items():
+        assert s["n_shards"] == 4 and s["n_files"] == 4, (name, s)
+        for k in range(4):
+            d = os.path.join(out, "shards", name, f"shard={k}")
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+    # 90/5/5 roughly honored
+    assert splits["train"]["n_docs"] > 3 * (
+        splits["val"]["n_docs"] + splits["test"]["n_docs"]
+    )
+
+    # deterministic: a second run from scratch produces the same summary
+    payload2 = _run(str(tmp_path / "run2"))
+    assert payload2["splits"] == splits
+    assert payload2["funnel"] == payload["funnel"]
