@@ -167,6 +167,15 @@ def main(argv: list[str] | None = None) -> int:
             mix_rates=mix_rates,
             mix_default_rate=args.mix_default,
             domain_cap=args.domain_cap,
+            split_fractions=(
+                tuple(
+                    (k, float(v))
+                    for k, v in (kv.split("=") for kv in args.split.split(","))
+                )
+                if args.split
+                else None
+            ),
+            export_shards_n=args.export_shards,
         )
         summary["mode"] = "clean_corpus_resumable"
         summary["wall_sec"] = round(time.monotonic() - t0, 3)

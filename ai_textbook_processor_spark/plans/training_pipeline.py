@@ -303,6 +303,8 @@ def run_clean_corpus(
     n_buckets: int = 32,
     buckets_per_commit: int = 8,
     fail_after_commits: int | None = None,
+    split_fractions: tuple[tuple[str, float], ...] | None = None,
+    export_shards_n: int | None = None,
     **stage_kw,
 ) -> dict:
     """Durable, resumable form of the nightly pipeline — the actual 100 TB
@@ -346,4 +348,41 @@ def run_clean_corpus(
     summary["funnel"] = {
         r["stage"]: int(r["n"]) for r in funnel.collect()
     }
+
+    # optional durable tail: deterministic split + shard export.  The
+    # shard contents are a pure function of the cleaned ids, so a re-run
+    # would rewrite identical shards; the _MANIFEST.json marker turns
+    # that into an explicit no-op (resume semantics matching the commit
+    # tables), and Spark readers ignore underscore-prefixed files.
+    if split_fractions or export_shards_n:
+        import json as _json
+        import os as _os
+
+        from ..operators.export import export_shards
+        from ..operators.sampling import hash_split
+
+        fr = split_fractions or (("train", 1.0),)
+        final = cleaned.drop("text").select("*", hash_split("doc_id", fr))
+        summary["splits"] = {}
+        for name, _frac in fr:
+            sdir = _os.path.join(out_root, "shards", name)
+            marker = _os.path.join(sdir, "_MANIFEST.json")
+            if _os.path.exists(marker):
+                with open(marker) as fh:
+                    man = _json.load(fh)
+                resumed = True
+            else:
+                man = export_shards(
+                    final.where(F.col("split") == name).drop("split"),
+                    sdir,
+                    n_shards=export_shards_n or 16,
+                )
+                with open(marker, "w") as fh:
+                    _json.dump(man, fh)
+                resumed = False
+            summary["splits"][name] = {
+                "n_docs": sum(m["n_docs"] for m in man),
+                "n_shards": len(man),
+                "resumed": resumed,
+            }
     return summary

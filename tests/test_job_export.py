@@ -51,3 +51,41 @@ def test_clean_corpus_split_export(tmp_path):
     payload2 = _run(str(tmp_path / "run2"))
     assert payload2["splits"] == splits
     assert payload2["funnel"] == payload["funnel"]
+
+
+def test_resumable_clean_corpus_export_resumes(tmp_path):
+    """Durable path: first run exports shards; a rerun of the same run_id
+    no-ops extraction (buckets_processed=0) AND the export (marker)."""
+    out = str(tmp_path / "durable")
+
+    def run():
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "ai_textbook_processor_spark.job",
+                "--n-docs", "400", "--out", out,
+                "--master", "local[4]",
+                "--clean-corpus", "--resumable", "r5x",
+                "--min-quality", "0.0",
+                "--grade-lo", "-100", "--grade-hi", "100",
+                "--split", "train=0.9,val=0.05,test=0.05",
+                "--export-shards", "2",
+            ],
+            capture_output=True, text=True, timeout=420, cwd=REPO,
+        )
+        assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    first = run()
+    assert set(first["splits"]) == {"train", "val", "test"}
+    assert all(not s["resumed"] for s in first["splits"].values())
+    assert sum(s["n_docs"] for s in first["splits"].values()) == first[
+        "funnel"
+    ]["after_near_dedup"]
+
+    second = run()
+    assert second["buckets_processed"] == 0
+    assert all(s["resumed"] for s in second["splits"].values())
+    assert {k: v["n_docs"] for k, v in second["splits"].items()} == {
+        k: v["n_docs"] for k, v in first["splits"].items()
+    }
+    assert second["funnel"] == first["funnel"]
