@@ -166,3 +166,25 @@ def test_hof_lambda_rule_holds_on_lambda_heavy_queries(spark):
         "x1_extract_pipeline",
     ):
         assert_no_lambda_offenses(harness.QUERIES[name](spark, SF), name)
+
+
+def test_r5_selection_ops_plan_shapes(spark):
+    """r5 family guards: DSIR models broadcast + top-k without a global
+    sort; blocklist gate broadcasts the blocklist; temperature mix and
+    hash split add no window; shard manifest is one hash-agg exchange."""
+    p = plan(harness.QUERIES["samp_dsir_select"](spark, SF))
+    assert "TakeOrderedAndProject" in p and "WindowExec" not in p
+    assert "BroadcastHashJoin" in p  # the <=256-row model joins
+
+    p = plan(harness.QUERIES["url_blocklist_gate"](spark, SF))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    p = plan(harness.QUERIES["samp_temperature_mix"](spark, SF))
+    assert "WindowExec" not in p  # scan-side membership, no rank
+
+    p = plan(harness.QUERIES["samp_split_assign"](spark, SF))
+    assert "WindowExec" not in p and "SortMergeJoin" not in p
+
+    p = plan(harness.QUERIES["tp4_shard_manifest"](spark, SF))
+    assert "WindowExec" not in p
+    assert p.count("Exchange") <= 2  # hash partial agg + final
