@@ -30,12 +30,23 @@ def test_every_query_has_an_oracle():
 
 def test_driver_window_holds_previously_uncertified_queries():
     """r4 VERDICT #1: the driver certifies queries()[0:50]; the rotation
-    must keep every never-driver-certified query inside that window."""
+    must spend every window slot on a never-driver-certified query.  When
+    fewer than 50 are uncertified, all of them must sit in the window;
+    once the uncertified set outgrows the window (r5: 54 > 50), the
+    invariant is that no long-certified query occupies a slot while an
+    uncertified one waits — the overflow rotates in next round."""
     from ai_textbook_processor_spark import harness
 
     window = list(harness.QUERIES)[:50]
     front = set(harness.QUERIES) - set(harness._CERTIFIED_R1_R4)
-    out_of_window = front - set(window)
-    assert not out_of_window, (
-        f"never-certified queries outside the driver window: {out_of_window}"
-    )
+    if len(front) <= 50:
+        out_of_window = front - set(window)
+        assert not out_of_window, (
+            f"never-certified queries outside the driver window: "
+            f"{out_of_window}"
+        )
+    else:
+        squatters = set(window) - front
+        assert not squatters, (
+            f"long-certified queries occupying window slots: {squatters}"
+        )

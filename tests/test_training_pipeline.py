@@ -142,7 +142,7 @@ def test_clean_corpus_no_storage_growth():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, "-c", _STORAGE_SCRIPT % {"repo": repo}],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=900,
     )
     assert out.returncode == 0 and "STORAGE_OK" in out.stdout, (
         out.stdout[-2000:], out.stderr[-2000:]
