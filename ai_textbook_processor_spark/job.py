@@ -87,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
         "content_type (grouped_topk — no per-domain window sort)",
     )
     ap.add_argument(
+        "--dsir-target",
+        default=None,
+        help="clean-corpus: comma-separated content_type values forming "
+        "the DSIR target sample; target docs pass through, the rest of "
+        "the pool keeps only --dsir-top-k by importance ratio",
+    )
+    ap.add_argument("--dsir-top-k", type=int, default=None)
+    ap.add_argument(
         "--split",
         default=None,
         help="clean-corpus: deterministic train/val/test fractions as "
@@ -167,6 +175,10 @@ def main(argv: list[str] | None = None) -> int:
             mix_rates=mix_rates,
             mix_default_rate=args.mix_default,
             domain_cap=args.domain_cap,
+            dsir_target_types=(
+                tuple(args.dsir_target.split(",")) if args.dsir_target else ()
+            ),
+            dsir_top_k=args.dsir_top_k,
             split_fractions=(
                 tuple(
                     (k, float(v))
@@ -222,6 +234,10 @@ def main(argv: list[str] | None = None) -> int:
             mix_rates=mix_rates,
             mix_default_rate=args.mix_default,
             domain_cap=args.domain_cap,
+            dsir_target_types=(
+                tuple(args.dsir_target.split(",")) if args.dsir_target else ()
+            ),
+            dsir_top_k=args.dsir_top_k,
         )
         splits_summary = None
         if args.split or args.export_shards:
@@ -274,6 +290,8 @@ def main(argv: list[str] | None = None) -> int:
         final_stage = (
             "after_mix"
             if mix_rates is not None
+            else "after_dsir"
+            if (args.dsir_target and args.dsir_top_k)
             else "after_domain_cap"
             if args.domain_cap is not None
             else "after_decontam"

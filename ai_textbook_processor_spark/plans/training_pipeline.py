@@ -67,6 +67,8 @@ def clean_corpus(
     mix_default_rate: float = 1.0,
     domain_cap: int | None = None,
     domain_col: str = "content_type",
+    dsir_target_types: tuple[str, ...] = (),
+    dsir_top_k: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (cleaned DataFrame, funnel DataFrame of per-stage counts).
 
@@ -124,6 +126,7 @@ def clean_corpus(
         decontam_shingle_n=decontam_shingle_n,
         mix_rates=mix_rates, mix_default_rate=mix_default_rate,
         domain_cap=domain_cap, domain_col=domain_col,
+        dsir_target_types=dsir_target_types, dsir_top_k=dsir_top_k,
     )
 
 
@@ -144,11 +147,22 @@ def _stages_from_extracted(
     mix_default_rate: float = 1.0,
     domain_cap: int | None = None,
     domain_col: str = "content_type",
+    dsir_target_types: tuple[str, ...] = (),
+    dsir_top_k: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Gate -> dedup -> (decontam) -> (domain cap) -> (mix) over an already-materialized
-    extracted frame (columns: doc_id, spans, is_valid, text, quality,
-    lang_guess, ...). Shared by clean_corpus (in-session checkpoint) and
-    run_clean_corpus (durable staged table)."""
+    """Gate -> dedup -> (decontam) -> (domain cap) -> (DSIR select) ->
+    (mix) over an already-materialized extracted frame (columns: doc_id,
+    spans, is_valid, text, quality, lang_guess, ...). Shared by
+    clean_corpus (in-session checkpoint) and run_clean_corpus (durable
+    staged table).
+
+    DSIR stage (both knobs required): documents whose ``domain_col`` is
+    in ``dsir_target_types`` form the curated target sample and pass
+    through; the rest of the surviving pool is ranked by the hashed-ngram
+    log importance ratio against that target (operators/dsir, Xie et al.
+    2023) and only the top ``dsir_top_k`` survive — "keep the k most
+    target-like documents" as a pipeline stage. Funnel stage
+    ``after_dsir``."""
     spark = extracted.sparkSession
     gate = F.col("is_valid") & (F.col("quality") >= min_quality)
     if langs:
@@ -157,8 +171,10 @@ def _stages_from_extracted(
     # slim doc-level projection OF THE CACHE (InMemoryTableScan prunes to
     # these columns; the span arrays never ride a shuffle)
     slim_cols = ["doc_id", "text", "lang_guess"]
+    if domain_cap is not None or (dsir_target_types and dsir_top_k):
+        slim_cols.append(domain_col)
     if domain_cap is not None:
-        slim_cols += [domain_col, "quality"]
+        slim_cols.append("quality")
     slim = extracted.select(*slim_cols, gate.alias("gate_ok"))
     gated = slim.where("gate_ok")
 
@@ -222,6 +238,31 @@ def _stages_from_extracted(
             cap_src, domain_col, ["_negq", "doc_id"], domain_cap
         ).select("doc_id")
 
+    # optional DSIR selection: target-type docs pass through, the rest of
+    # the surviving pool keeps only the top-k by importance ratio. The
+    # kept-id table is (n_target + k) ids — the models are <=2*B rows and
+    # broadcast inside dsir_logweights; raw text rides only the one
+    # tokenize pass.
+    dsir_kept = None
+    if dsir_target_types and dsir_top_k:
+        from ..operators.dsir import dsir_logweights
+
+        pool = slim.where("gate_ok").select("doc_id", "text", domain_col)
+        pool = pool.join(winners.select("doc_id"), "doc_id", "left_semi")
+        pool = pool.join(losers, "doc_id", "left_anti")
+        if contam is not None:
+            pool = pool.join(F.broadcast(contam), "doc_id", "left_anti")
+        if cap_kept is not None:
+            pool = pool.join(cap_kept, "doc_id", "left_semi")
+        tgt = F.col(domain_col).isin(*dsir_target_types)
+        topk = (
+            dsir_logweights(pool, tgt, "doc_id", "text")
+            .orderBy(F.col("logw").desc(), "doc_id")
+            .limit(dsir_top_k)
+            .select("doc_id")
+        )
+        dsir_kept = topk.union(pool.where(tgt).select("doc_id"))
+
     # optional stratified mixing — a pure Column flag, no extra pass
     sampled = (
         sample_keep_expr("lang_guess", mix_rates, "doc_id", mix_default_rate)
@@ -255,17 +296,27 @@ def _stages_from_extracted(
         )
     else:
         flags = flags.withColumn("is_cap_kept", F.lit(True))
+    if dsir_kept is not None:
+        flags = flags.join(
+            dsir_kept.select("doc_id", F.lit(True).alias("is_dsir_kept")),
+            "doc_id",
+            "left",
+        )
+    else:
+        flags = flags.withColumn("is_dsir_kept", F.lit(True))
     is_winner = F.coalesce("is_winner", F.lit(False))
     is_loser = F.coalesce("is_loser", F.lit(False))
     is_kept = is_winner & ~is_loser & ~F.coalesce("is_contam", F.lit(False))
     is_capped = is_kept & F.coalesce("is_cap_kept", F.lit(False))
+    is_selected = is_capped & F.coalesce("is_dsir_kept", F.lit(False))
     agg = flags.agg(
         F.sum(F.col("gate_ok").cast("long")).alias("extracted_valid"),
         F.sum(is_winner.cast("long")).alias("after_exact_dedup"),
         F.sum((is_winner & ~is_loser).cast("long")).alias("after_near_dedup"),
         F.sum(is_kept.cast("long")).alias("after_decontam"),
         F.sum(is_capped.cast("long")).alias("after_domain_cap"),
-        F.sum((is_capped & sampled).cast("long")).alias("after_mix"),
+        F.sum(is_selected.cast("long")).alias("after_dsir"),
+        F.sum((is_selected & sampled).cast("long")).alias("after_mix"),
     ).collect()[0]
     counts = {
         "input": n_input,
@@ -277,6 +328,8 @@ def _stages_from_extracted(
         counts["after_decontam"] = agg["after_decontam"]
     if domain_cap is not None:
         counts["after_domain_cap"] = agg["after_domain_cap"]
+    if dsir_kept is not None:
+        counts["after_dsir"] = agg["after_dsir"]
     if mix_rates is not None:
         counts["after_mix"] = agg["after_mix"]
     funnel = spark.createDataFrame(
@@ -288,6 +341,8 @@ def _stages_from_extracted(
         keep = keep.join(F.broadcast(contam), "doc_id", "left_anti")
     if cap_kept is not None:
         keep = keep.join(cap_kept, "doc_id", "left_semi")
+    if dsir_kept is not None:
+        keep = keep.join(dsir_kept, "doc_id", "left_semi")
     if mix_rates is not None:
         keep = keep.join(slim.select("doc_id", "lang_guess"), "doc_id").where(sampled)
     cleaned = extracted.join(keep.select("doc_id"), "doc_id", "left_semi")

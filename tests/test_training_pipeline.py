@@ -353,3 +353,45 @@ def test_domain_cap_stage(spark):
         assert sorted(r["doc_id"] for r in kept) == sorted(
             r["doc_id"] for r in pool
         ), dom
+
+
+def test_dsir_stage_keeps_target_plus_topk(spark):
+    """r5 DSIR stage: target-content_type docs pass through; the rest of
+    the surviving pool keeps exactly top-k by importance ratio, and the
+    kept raw docs outscore every dropped one."""
+    from ai_textbook_processor_spark.operators.dsir import dsir_logweights
+
+    docs = corpus_df(spark, 120, seed=42)
+    fams = {r[0] for r in docs.select("content_type").distinct().collect()}
+    target = tuple(f for f in sorted(fams) if f.startswith("pdf"))
+    assert target, fams
+    cfg = CriteriaConfig(grade_lo=-100.0, grade_hi=100.0)
+    k = 10
+
+    base, base_funnel = clean_corpus(docs, cfg, min_quality=0.0)
+    cleaned, funnel = clean_corpus(
+        docs, cfg, min_quality=0.0, dsir_target_types=target, dsir_top_k=k
+    )
+    stages = {r["stage"]: r["n"] for r in funnel.collect()}
+    survivors = base.select("doc_id", "content_type", "text")
+    n_target = survivors.where(F.col("content_type").isin(*target)).count()
+    n_raw = survivors.count() - n_target
+    assert stages["after_dsir"] == n_target + min(k, n_raw)
+    assert cleaned.count() == stages["after_dsir"]
+
+    kept = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    kept_target = {
+        r["doc_id"]
+        for r in cleaned.where(F.col("content_type").isin(*target)).collect()
+    }
+    assert len(kept_target) == n_target  # every surviving target kept
+
+    # the kept raw docs are exactly the top-k scorers
+    w = dsir_logweights(
+        survivors, F.col("content_type").isin(*target), "doc_id", "text"
+    )
+    ranked = [
+        r["doc_id"]
+        for r in w.orderBy(F.col("logw").desc(), "doc_id").collect()
+    ]
+    assert kept - kept_target == set(ranked[:k])
