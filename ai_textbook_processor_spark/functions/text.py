@@ -154,6 +154,73 @@ def corpus_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def bigram_logprob(
+    df, id_col: str = "doc_id", text_col: str = "text", lam: float = 0.7
+):
+    """Per-document mean negative log2-probability under an interpolated
+    BIGRAM corpus LM — the KenLM-shaped upgrade of :func:`corpus_logprob`
+    (a real CCNet filter scores with an n-gram model, not unigrams):
+
+        score(d) = -(1/(n_d-1)) * sum_{(v,w) in d}
+                     log2( lam * c(v,w)/c(v,*) + (1-lam) * c(w)/C )
+
+    summed over the document's bigram positions (documents with <2 tokens
+    contribute no bigrams and are excluded).  The interpolation backstop
+    means an unseen-in-context word still gets its unigram mass, so the
+    log never sees zero: every bigram in any doc exists in the corpus
+    model by construction (the model IS the corpus), but its context
+    probability can be tiny for incoherent text — which is the signal.
+
+    Plan shape mirrors corpus_logprob: (1) doc-bigram counts — ONE
+    tokenize pass, bigrams via the lambda-safe shifted-slice zip; (2) the
+    corpus bigram model = one groupBy(v,w), prefix totals = one
+    groupBy(v), unigram model reused from the same explode; (3) scoring
+    joins carry (id, v, w, count) tuples only — raw text never rides a
+    join; (4) one final groupBy(id).  The models are vocabulary-sized
+    (bigram types), not corpus-sized — the natural persisted artifact
+    between runs at 100 TB."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+    )
+    from ..operators.dedup import _shingle_expr
+
+    pairs = df.select(
+        id_col, F.explode(_shingle_expr(toks, 2)).alias("vw")
+    ).select(
+        id_col,
+        F.split("vw", " ")[0].alias("v"),
+        F.split("vw", " ")[1].alias("w"),
+    )
+    doc_counts = pairs.groupBy(id_col, "v", "w").agg(
+        F.count("*").alias("dc")
+    )
+    big = doc_counts.groupBy("v", "w").agg(F.sum("dc").alias("cvw"))
+    prefix = big.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    uni = doc_counts.groupBy("w").agg(F.sum("dc").alias("cw"))
+    total = uni.agg(F.sum("cw").alias("corpus_total"))
+    # 1.0 - 0.7 is NOT the double the SQL literal 0.3 parses to (it is
+    # 0.30000000000000004) — re-parse the decimal complement so both
+    # engines interpolate with bit-identical coefficients
+    lam2 = float(f"{1.0 - lam:.10g}")
+    p = (
+        F.lit(lam) * (F.col("cvw") / F.col("cv"))
+        + F.lit(lam2) * (F.col("cw") / F.col("corpus_total"))
+    )
+    return (
+        doc_counts.join(big, ["v", "w"])
+        .join(prefix, "v")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("dc").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("dc") * F.log2(p)) / F.sum("dc"), 5
+            ).alias("neg_logprob2"),
+        )
+    )
+
+
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
 

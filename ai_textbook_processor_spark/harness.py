@@ -3715,6 +3715,45 @@ def txt_ppl_buckets(spark, sf_dir):
     )
 
 
+@query(
+    "txt_bigram_ppl",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, t[i] AS v, t[i+1] AS w
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ), dcounts AS (
+      SELECT doc_id, v, w, count(*) AS dc FROM pairs GROUP BY 1, 2, 3
+    ), big AS (SELECT v, w, sum(dc) AS cvw FROM dcounts GROUP BY 1, 2),
+    prefix AS (SELECT v, sum(cvw) AS cv FROM big GROUP BY v),
+    uni AS (SELECT w, sum(dc) AS cw FROM dcounts GROUP BY w),
+    tot AS (SELECT sum(cw) AS corpus_total FROM uni)
+    SELECT d.doc_id, CAST(sum(d.dc) AS BIGINT) AS n_bigrams,
+           round(-sum(d.dc * log2(0.7 * (b.cvw / p.cv)
+                                  + 0.3 * (u.cw / t.corpus_total)))
+                 / sum(d.dc), 5) AS neg_logprob2
+    FROM dcounts d JOIN big b USING (v, w) JOIN prefix p USING (v)
+         JOIN uni u USING (w), tot t
+    GROUP BY d.doc_id
+    """,
+)
+def txt_bigram_ppl(spark, sf_dir):
+    """Interpolated bigram-LM perplexity proxy (functions.text.
+    bigram_logprob) — the KenLM-shaped upgrade of txt_corpus_logprob:
+    score each doc by -mean log2(0.7*p(w|v) + 0.3*p(w)) under the
+    corpus's own bigram model.  Incoherent word salad keeps unigram mass
+    but loses all context mass, so it scores high; formulaic boilerplate
+    scores low — both tails are filter targets.  Models are bigram-type-
+    sized (never corpus-sized); scoring joins carry count tuples only.
+    The oracle recomputes the full model and every score from scratch."""
+    from .functions.text import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d)
+
+
 # domain blocklist for the gate query: two of the synthetic hosts
 URL_BLOCKLIST = ("src2.example.org", "src5.example.org")
 

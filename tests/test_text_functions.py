@@ -210,3 +210,21 @@ def test_bm25_single_tokenize_and_bounded_exchanges(spark):
     )
     p = qe.executedPlan().toString()
     assert p.count("Exchange") <= 2, p
+
+
+def test_bigram_logprob_flags_incoherence(spark):
+    """Word salad shares the corpus vocabulary (keeps unigram mass) but
+    loses context mass -> higher neg_logprob2 than coherent text built
+    from the corpus's own frequent bigrams."""
+    from ai_textbook_processor_spark.functions.text import bigram_logprob
+
+    coherent = "the model reads the data and the model writes the data"
+    rows = [(i, coherent) for i in range(8)]
+    # salad: same words, shuffled determinally so bigrams are rare
+    rows.append((100, "data the writes model and reads the data model the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["neg_logprob2"] for r in bigram_logprob(df).collect()}
+    assert out[100] > out[0], out
+    # short docs (<2 tokens) contribute no bigrams and are excluded
+    df2 = spark.createDataFrame([(1, "word"), (2, "")], "doc_id long, text string")
+    assert bigram_logprob(df2).count() == 0
