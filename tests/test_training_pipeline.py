@@ -69,26 +69,6 @@ def test_extraction_runs_once_for_funnel(spark):
     assert acc.value == n, f"extraction input scanned {acc.value} rows for {n} docs"
 
 
-def _n_persistent_rdds(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-
-
-def _drain_storage(spark, baseline: int, timeout: float = 90.0) -> int:
-    """GC driver-side refs and wait for the ContextCleaner to unpersist
-    checkpoint blocks (async); returns the settled persistent-RDD count."""
-    import gc
-    import time
-
-    deadline = time.time() + timeout
-    while time.time() < deadline:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        if _n_persistent_rdds(spark) <= baseline:
-            break
-        time.sleep(0.5)
-    return _n_persistent_rdds(spark)
-
-
 _STORAGE_SCRIPT = """
 import gc, sys, time
 sys.path.insert(0, %(repo)r)
@@ -149,20 +129,67 @@ def test_clean_corpus_no_storage_growth():
     )
 
 
-def test_malformed_src_queries_leave_no_cache_entries(spark, tmp_path):
-    """r3 ADVICE: src_json_malformed / src_csv_malformed previously
-    .cache()d the PERMISSIVE read and never unpersisted; they now
-    localCheckpoint (GC-freed) and use per-invocation scratch dirs."""
-    from ai_textbook_processor_spark import harness
+_MALFORMED_STORAGE_SCRIPT = """
+import gc, sys, time
+sys.path.insert(0, %(repo)r)
+from ai_textbook_processor_spark.session import get_spark
+from ai_textbook_processor_spark import harness
 
-    baseline = _drain_storage(spark, 0)
+spark = get_spark(app_name="malformed_storage_test", master="local[4]",
+                  shuffle_partitions=4)
+
+def n_rdds():
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+def drain(target, timeout=90.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if n_rdds() <= target:
+            break
+        time.sleep(0.5)
+    return n_rdds()
+
+# The guarded regression is UNBOUNDED accumulation (the old .cache() pinned
+# one cache-manager entry per invocation forever). ContextCleaner unpersist
+# is async and occasionally outwaits a fixed drain window even with forced
+# GC, so assert (a) zero DataFrame-level cache entries (deterministic) and
+# (b) the persistent-RDD count stays bounded by ONE invocation's blocks
+# across repeated invocations — a real leak grows by 2 per round.
+counts = []
+for _ in range(3):
     for name in ("src_json_malformed", "src_csv_malformed"):
         df = harness.QUERIES[name](spark, "/root/testdata/sf0.001")
         assert df.count() > 0
         del df
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
-    settled = _drain_storage(spark, baseline)
-    assert settled <= baseline
+    counts.append(drain(0))
+assert counts[-1] <= 2, f"persistent RDD blocks accumulate: {counts}"
+print("MALFORMED_STORAGE_OK")
+"""
+
+
+def test_malformed_src_queries_leave_no_cache_entries():
+    """r3 ADVICE: src_json_malformed / src_csv_malformed previously
+    .cache()d the PERMISSIVE read and never unpersisted; they now
+    localCheckpoint (GC-freed) and use per-invocation scratch dirs.
+    Runs in a FRESH interpreter (r4 learning, same as
+    test_clean_corpus_no_storage_growth): in the shared pytest session
+    other tests' live frames legitimately pin checkpoint blocks, which
+    made the shared-session drain-to-baseline assertion order-dependent."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", _MALFORMED_STORAGE_SCRIPT % {"repo": repo}],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0 and "MALFORMED_STORAGE_OK" in out.stdout, (
+        out.stdout[-2000:], out.stderr[-2000:]
+    )
 
 
 def test_lang_filter(spark):
