@@ -16,10 +16,28 @@ Two entry points:
 from __future__ import annotations
 
 import random
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .schemas import DOCUMENTS_SCHEMA
+
+
+class GenSpec(NamedTuple):
+    """Generation parameters of a ``corpus_df`` frame, attached to the
+    returned DataFrame as ``_sg_gen_spec`` so downstream plan builders
+    (``plans.pipeline.extract_documents``) can FUSE generation with their
+    own Python stage instead of shipping the freshly generated ``spans``
+    payload Python -> JVM -> Python across two separate Arrow boundaries
+    (optimization guide §4.1: every Python stage pays a full JVM<->worker
+    round trip; the raw spans column is replaced by extraction and never
+    needs to reach the JVM at all)."""
+
+    n_docs: int
+    seed: int
+    mega_every: int
+    num_partitions: int
+    start: int
 
 # Small fixed vocabulary: mixed syllable counts so FK grades spread, plus a
 # few lexicon-unsafe words for the `profane` family.
@@ -334,10 +352,8 @@ def corpus_df(
     """
     import pandas as pd  # local import: executors need it lazily
 
-    base = spark.range(
-        start, start + n_docs, 1,
-        num_partitions or spark.sparkContext.defaultParallelism,
-    )
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(start, start + n_docs, 1, n_parts)
 
     def gen_batches(it):
         for pdf in it:
@@ -357,4 +373,11 @@ def corpus_df(
                 ],
             )
 
-    return base.mapInPandas(gen_batches, schema=DOCUMENTS_SCHEMA)
+    df = base.mapInPandas(gen_batches, schema=DOCUMENTS_SCHEMA)
+    # Fusion tag (see GenSpec): consumed by extract_documents to run
+    # generate+extract+score as ONE Python stage. Plain attribute on the
+    # DataFrame wrapper — downstream transformations produce new wrappers,
+    # so the tag only survives on the frame corpus_df itself returned,
+    # which is exactly the fusable shape.
+    df._sg_gen_spec = GenSpec(n_docs, seed, mega_every, n_parts, start)
+    return df

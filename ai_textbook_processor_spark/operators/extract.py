@@ -76,6 +76,67 @@ def make_extract_and_score_udf(cfg: CriteriaConfig):
 
 
 # ---------------------------------------------------------------------------
+# Fully fused generate+extract+score stage (r6 optimization): when the input
+# is a corpus_df-generated frame (see corpus.GenSpec), the raw spans payload
+# would cross the Python<->JVM Arrow boundary twice (generator out, extract
+# UDF in) only to be REPLACED by the extraction output — it never appears in
+# the final frame. Running generation, extraction and scoring in ONE
+# mapInPandas stage over the id range eliminates both crossings of the
+# heaviest column (guide §4.1/§2.3: shuffle/ship fewer bytes — here, zero
+# bytes of raw spans). Row values are identical by construction (same
+# gen_doc / extract_document / score_texts calls); pinned row-for-row by
+# tests/test_fused_impl.py.
+# ---------------------------------------------------------------------------
+
+
+def make_generate_extract_score_fn(cfg: CriteriaConfig, seed: int,
+                                   mega_every: int):
+    """Build the fused mapInPandas function: Iterator[pdf(id)] ->
+    Iterator[pdf(doc columns + n_spans + n_chars + validation)]."""
+    from ..corpus import gen_doc
+
+    def generate_extract_score(batches):
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"].tolist():
+                fam = (
+                    "mega_doc"
+                    if (mega_every and idx % mega_every == mega_every - 1)
+                    else None
+                )
+                rows.append(gen_doc(int(idx), seed, family=fam))
+            extracted = [extract_document(r["spans"]) for r in rows]
+            texts = pd.Series(
+                [
+                    " ".join(
+                        sp["text"] for sp in doc if sp["kind"] in TEXT_KINDS
+                    )
+                    for doc in extracted
+                ]
+            )
+            scored = score_texts(texts, cfg)
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "spans": extracted,
+                    "standard": [r["standard"] for r in rows],
+                    "subject": [r["subject"] for r in rows],
+                    "chapter": [r["chapter"] for r in rows],
+                    "content_type": [r["content_type"] for r in rows],
+                    "n_spans": pd.array(
+                        [len(d) for d in extracted], dtype="int32"
+                    ),
+                    "n_chars": texts.str.len().astype("int32"),
+                    "validation": scored[_VALIDATION_FIELDS].to_dict(
+                        "records"
+                    ),
+                }
+            )
+
+    return generate_extract_score
+
+
+# ---------------------------------------------------------------------------
 # mapInArrow twin of the fused stage (r2 VERDICT #2), r3 verdict: PARITY
 # within noise, kept as an equality-pinned option (pandas UDF remains
 # default). Why no win: Spark 4's pandas serializer is already Arrow-

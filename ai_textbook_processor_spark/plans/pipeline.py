@@ -28,8 +28,17 @@ from ..operators.validate import is_valid_expr
 
 DEFAULT_BUCKETS = 32
 
-# Hot-path implementation: "pandas" (pandas UDF, default) or "arrow"
-# (mapInArrow twin). tests/test_arrow_impl.py pins row-for-row equality.
+# Hot-path implementation: "fused" (default; generate+extract+score in ONE
+# Python stage when the input is a corpus_df-generated frame, falling back
+# to the pandas UDF otherwise), "pandas" (pandas UDF), or "arrow"
+# (mapInArrow twin). tests/test_arrow_impl.py and tests/test_fused_impl.py
+# pin row-for-row equality between the implementations.
+# r6 measurement (OPTIMIZATION_r06.md): fusing generation into the
+# extraction stage removes both Arrow crossings of the raw spans column
+# (generator out + extract UDF in) — the heaviest payload in the plan,
+# which extraction REPLACES anyway: 960k docs 35.7 s -> 29.9 s at 16 task
+# lanes, and the Python-bound fused stage then scales to 32 lanes (13.7 s)
+# where the boundary-heavy two-stage plan could not.
 # r3 measurement (BENCH/BASELINE.md): the mapInArrow path is PARITY within
 # noise, not the hoped ~10-15% — Spark 4's pandas serializer is already
 # Arrow-backed (list<struct> input conversion is identical), the output-
@@ -37,14 +46,47 @@ DEFAULT_BUCKETS = 32
 # passthrough column through the worker socket both ways (the pandas UDF
 # ships only the spans column), which eats that saving. Kept as an
 # equality-pinned option; the golden pandas twin stays the default.
-DEFAULT_UDF_IMPL = "pandas"
+DEFAULT_UDF_IMPL = "fused"
 
 
 def _resolve_impl(impl: str | None) -> str:
     got = impl or os.environ.get("SPARK_GRAFT_UDF_IMPL", DEFAULT_UDF_IMPL)
-    if got not in ("arrow", "pandas"):
+    if got not in ("arrow", "pandas", "fused"):
         raise ValueError(f"unknown extract impl {got!r}")
     return got
+
+
+def _extract_generated(spark, spec, cfg: CriteriaConfig,
+                       n_buckets: int) -> DataFrame:
+    """Fused plan for a corpus_df-generated input: ONE mapInPandas stage
+    (generate -> extract -> score), then JVM-side bucket/is_valid columns.
+    Output schema, column order and row values are identical to the
+    unfused path (pinned by tests/test_fused_impl.py)."""
+    from ..operators.extract import make_generate_extract_score_fn
+    from ..schemas import DOCUMENTS_SCHEMA
+
+    result_fields = {f.name: f.dataType for f in EXTRACT_RESULT_TYPE.fields}
+    out_schema = T.StructType(
+        list(DOCUMENTS_SCHEMA.fields)
+        + [
+            T.StructField(n, result_fields[n])
+            for n in ("n_spans", "n_chars", "validation")
+        ]
+    )
+    fn = make_generate_extract_score_fn(cfg, spec.seed, spec.mega_every)
+    base = spark.range(
+        spec.start, spec.start + spec.n_docs, 1, spec.num_partitions
+    )
+    out = base.mapInPandas(fn, out_schema)
+    # bucket is JVM-side (xxhash64) and must sit between the document
+    # columns and the extraction columns to match the unfused column order
+    out = with_bucket(out, n_buckets)
+    doc_cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+    return out.select(
+        *doc_cols, "bucket", "n_spans", "n_chars", "validation"
+    ).withColumn(
+        "is_valid", is_valid_expr("validation", relaxed=cfg.relaxed_relevance)
+    )
 
 
 def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
@@ -71,12 +113,23 @@ def extract_documents(
     plan is shuffle-free end to end; resume/lineage address the same
     buckets either way)."""
     cfg = cfg or CriteriaConfig()
+    resolved = _resolve_impl(impl)
+    spec = getattr(df, "_sg_gen_spec", None)
+    if (
+        resolved == "fused"
+        and spec is not None
+        and not repartition
+        and "bucket" not in df.columns
+    ):
+        return _extract_generated(df.sparkSession, spec, cfg, n_buckets)
+    if resolved == "fused":
+        resolved = "pandas"  # fusion needs a generated corpus; golden twin
     # respect a caller-assigned bucket column (the resume runner buckets
     # with its own modulus before filtering groups)
     out = df if "bucket" in df.columns else with_bucket(df, n_buckets)
     if repartition:
         out = out.repartition(n_buckets, "bucket")
-    if _resolve_impl(impl) == "arrow":
+    if resolved == "arrow":
         from pyspark.sql.pandas.types import to_arrow_type
 
         result_fields = {f.name: f.dataType for f in EXTRACT_RESULT_TYPE.fields}

@@ -15,10 +15,11 @@ from ai_textbook_processor_spark.plans.pipeline import (
 )
 
 
-def test_default_is_pandas():
-    # r3: measured parity-within-noise for mapInArrow (see pipeline.py
-    # comment + BENCH/BASELINE.md); the golden twin stays default
-    assert DEFAULT_UDF_IMPL == "pandas"
+def test_default_is_fused():
+    # r6: generate+extract+score fuses into one Python stage for generated
+    # corpora (see pipeline.py comment + OPTIMIZATION_r06.md); non-generated
+    # inputs fall back to the golden pandas twin
+    assert DEFAULT_UDF_IMPL == "fused"
 
 
 def test_arrow_equals_pandas_on_every_family(spark):

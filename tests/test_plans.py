@@ -15,14 +15,18 @@ def plan(df) -> str:
 
 def n_python_stages(p: str) -> int:
     """Fused hot path = exactly ONE Arrow-batched Python stage, whichever
-    implementation carries it (MapInArrow default, ArrowEvalPython twin)."""
-    return p.count("ArrowEvalPython") + p.count("MapInArrow")
+    implementation carries it (MapInPandas for the r6 fully fused
+    generate+extract+score stage, ArrowEvalPython / MapInArrow twins)."""
+    return (
+        p.count("ArrowEvalPython") + p.count("MapInArrow")
+        + p.count("MapInPandas")
+    )
 
 
 def test_flagship_plan_is_fused_and_shuffle_free(spark):
     p = plan(extract_documents(corpus_df(spark, 8, seed=1)))
     assert p.count("Exchange") == 0
-    assert n_python_stages(p) == 1  # extract+score fused
+    assert n_python_stages(p) == 1  # generate+extract+score fully fused
     assert "SortMergeJoin" not in p
 
 
