@@ -89,49 +89,107 @@ def make_extract_and_score_udf(cfg: CriteriaConfig):
 # ---------------------------------------------------------------------------
 
 
-def make_generate_extract_score_fn(cfg: CriteriaConfig, seed: int,
-                                   mega_every: int):
-    """Build the fused mapInPandas function: Iterator[pdf(id)] ->
-    Iterator[pdf(doc columns + n_spans + n_chars + validation)]."""
+def _fused_compute(ids, seed: int, mega_every: int,
+                   cfg: CriteriaConfig) -> pd.DataFrame:
+    """Generate + extract + score one id slice (module-level so the fork
+    helper can resolve it by reference)."""
     from ..corpus import gen_doc
 
+    rows = []
+    for idx in ids:
+        fam = (
+            "mega_doc"
+            if (mega_every and idx % mega_every == mega_every - 1)
+            else None
+        )
+        rows.append(gen_doc(int(idx), seed, family=fam))
+    extracted = [extract_document(r["spans"]) for r in rows]
+    texts = pd.Series(
+        [
+            " ".join(sp["text"] for sp in doc if sp["kind"] in TEXT_KINDS)
+            for doc in extracted
+        ]
+    )
+    scored = score_texts(texts, cfg)
+    return pd.DataFrame(
+        {
+            "doc_id": [r["doc_id"] for r in rows],
+            "spans": extracted,
+            "standard": [r["standard"] for r in rows],
+            "subject": [r["subject"] for r in rows],
+            "chapter": [r["chapter"] for r in rows],
+            "content_type": [r["content_type"] for r in rows],
+            "n_spans": pd.array([len(d) for d in extracted], dtype="int32"),
+            "n_chars": texts.str.len().astype("int32"),
+            "validation": scored[_VALIDATION_FIELDS].to_dict("records"),
+        }
+    )
+
+
+# One persistent fork-helper per (reused) Python worker, keyed by pid. With
+# spark.task.cpus=2 (session.py's >16-lane policy) every fused task OWNS two
+# cores but interpreted Python can drive only one; the helper spends the
+# second on the other half of each batch (ids cross the pipe going in —
+# a few KB; finished rows cross coming back, ~1-2 MB/batch at ~GB/s pickle
+# speed, <1% of batch compute). Heavy init happens once per worker process
+# (guide §4.5); PR_SET_PDEATHSIG pins the helper's lifetime to its worker
+# so killed/reused workers never orphan it.
+_FUSED_POOL: dict = {}
+_MIN_SPLIT = 128  # below this many ids a batch is not worth forking over
+
+
+def _helper_pdeathsig():  # pragma: no cover - runs in the forked child
+    import ctypes
+    import signal
+
+    PR_SET_PDEATHSIG = 1
+    ctypes.CDLL("libc.so.6", use_errno=True).prctl(
+        PR_SET_PDEATHSIG, signal.SIGKILL
+    )
+
+
+def _get_fused_pool(n_helpers: int):
+    import multiprocessing as mp
+    import os
+
+    pid = os.getpid()
+    key = (pid, n_helpers)
+    pool = _FUSED_POOL.get(key)
+    if pool is None:
+        ctx = mp.get_context("fork")
+        pool = ctx.Pool(n_helpers, initializer=_helper_pdeathsig)
+        _FUSED_POOL.clear()  # a forked worker must not reuse the parent's
+        _FUSED_POOL[key] = pool
+    return pool
+
+
+def make_generate_extract_score_fn(cfg: CriteriaConfig, seed: int,
+                                   mega_every: int, procs: int = 1):
+    """Build the fused mapInPandas function: Iterator[pdf(id)] ->
+    Iterator[pdf(doc columns + n_spans + n_chars + validation)].
+
+    ``procs=2`` splits every sufficiently large batch between the worker
+    and its fork helper (see _get_fused_pool) — identical output rows in
+    identical order, pinned by tests/test_fused_impl.py."""
+
     def generate_extract_score(batches):
+        pool = _get_fused_pool(procs - 1) if procs > 1 else None
         for pdf in batches:
-            rows = []
-            for idx in pdf["id"].tolist():
-                fam = (
-                    "mega_doc"
-                    if (mega_every and idx % mega_every == mega_every - 1)
-                    else None
-                )
-                rows.append(gen_doc(int(idx), seed, family=fam))
-            extracted = [extract_document(r["spans"]) for r in rows]
-            texts = pd.Series(
-                [
-                    " ".join(
-                        sp["text"] for sp in doc if sp["kind"] in TEXT_KINDS
+            ids = pdf["id"].tolist()
+            if pool is not None and len(ids) >= procs * _MIN_SPLIT:
+                step = (len(ids) + procs - 1) // procs
+                slices = [ids[i : i + step] for i in range(0, len(ids), step)]
+                pending = [
+                    pool.apply_async(
+                        _fused_compute, (s, seed, mega_every, cfg)
                     )
-                    for doc in extracted
+                    for s in slices[1:]
                 ]
-            )
-            scored = score_texts(texts, cfg)
-            yield pd.DataFrame(
-                {
-                    "doc_id": [r["doc_id"] for r in rows],
-                    "spans": extracted,
-                    "standard": [r["standard"] for r in rows],
-                    "subject": [r["subject"] for r in rows],
-                    "chapter": [r["chapter"] for r in rows],
-                    "content_type": [r["content_type"] for r in rows],
-                    "n_spans": pd.array(
-                        [len(d) for d in extracted], dtype="int32"
-                    ),
-                    "n_chars": texts.str.len().astype("int32"),
-                    "validation": scored[_VALIDATION_FIELDS].to_dict(
-                        "records"
-                    ),
-                }
-            )
+                parts = [_fused_compute(slices[0], seed, mega_every, cfg)]
+                parts.extend(p.get() for p in pending)
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield _fused_compute(ids, seed, mega_every, cfg)
 
     return generate_extract_score
 

@@ -73,7 +73,24 @@ def _extract_generated(spark, spec, cfg: CriteriaConfig,
             for n in ("n_spans", "n_chars", "validation")
         ]
     )
-    fn = make_generate_extract_score_fn(cfg, spec.seed, spec.mega_every)
+    # Every fused task owns spark.task.cpus cores (session.py reserves 2
+    # above 16 local lanes for the JVM+worker pair); the JVM side of the
+    # fused stage is near-idle, so spend the extra core(s) on fork helpers
+    # inside the worker (operators/extract.py). In local mode one extra
+    # helper beyond the reservation measures ~8% faster (it fills the
+    # worker thread's Arrow-serialization stalls and the whole box is
+    # ours); on a cluster stay within the task's reservation. Overridable
+    # via SPARK_GRAFT_FUSED_PROCS for A/B runs.
+    env_procs = os.environ.get("SPARK_GRAFT_FUSED_PROCS")
+    if env_procs is not None:
+        procs = int(env_procs)
+    else:
+        procs = int(spark.conf.get("spark.task.cpus", "1"))
+        if procs > 1 and spark.sparkContext.master.startswith("local"):
+            procs += 1
+    fn = make_generate_extract_score_fn(
+        cfg, spec.seed, spec.mega_every, procs=procs
+    )
     base = spark.range(
         spec.start, spec.start + spec.n_docs, 1, spec.num_partitions
     )

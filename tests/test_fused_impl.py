@@ -63,3 +63,21 @@ def test_fused_falls_back_on_repartition_or_bucket(spark):
     pre_bucketed = with_bucket(corpus_df(spark, 4, seed=3), 8)
     plan = _plan(extract_documents(pre_bucketed))
     assert "ArrowEvalPython" in plan
+
+
+def test_fused_parallel_helper_equals_serial(spark):
+    """procs=2 (fork helper) must yield identical rows in identical order;
+    batch splitting and reassembly are invisible in the output."""
+    import os
+
+    from ai_textbook_processor_spark.corpus import corpus_df
+
+    docs = corpus_df(spark, 520, seed=5, mega_every=130, num_partitions=2)
+    os.environ["SPARK_GRAFT_FUSED_PROCS"] = "2"
+    try:
+        par = extract_documents(docs, impl="fused").collect()
+    finally:
+        del os.environ["SPARK_GRAFT_FUSED_PROCS"]
+    ser = extract_documents(docs, impl="fused").collect()
+    assert len(par) == len(ser) == 520
+    assert par == ser
