@@ -91,7 +91,13 @@ ALL_FAMILIES = FAMILIES + ("mega_doc", "html_with_media")
 
 
 def _sentence(rng: random.Random, vocab, n_words: int) -> str:
-    ws = [rng.choice(vocab) for _ in range(n_words)]
+    # rng.choice(seq) is exactly seq[rng._randbelow(len(seq))] (CPython
+    # random.py) — binding _randbelow skips the method dispatch per word
+    # while drawing the identical PRNG sequence (goldens unchanged; ~25%
+    # off generation's hottest loop, r6).
+    rb = rng._randbelow
+    n = len(vocab)
+    ws = [vocab[rb(n)] for _ in range(n_words)]
     ws = [w for w in ws if w != "."]
     return " ".join(ws).capitalize() + "."
 

@@ -57,7 +57,11 @@ class CriteriaConfig:
 def readability_features(texts: pd.Series) -> pd.DataFrame:
     """Vectorized FK-grade + TTR features for a Series of document texts."""
     t = texts.fillna("")
-    n_words = t.str.count(WORD_RE)
+    # One tokenization pass serves both the word count and the TTR/lexicon
+    # token lists (r6): len(findall(WORD_RE)) == count(WORD_RE), and
+    # lowercasing cannot change [A-Za-z0-9'] word boundaries.
+    lowered = t.str.lower().str.findall(WORD_RE)
+    n_words = lowered.str.len()
     n_sents = t.str.count(SENT_RE).clip(lower=1)
     vowel_groups = t.str.count(VOWEL_GROUP_RE)
     silent_e = t.str.count(SILENT_E_RE)
@@ -71,9 +75,7 @@ def readability_features(texts: pd.Series) -> pd.DataFrame:
         )
     fk = np.round(fk, 6)  # stable across accumulation orders
 
-    # TTR + lexicon hit need token sets; findall is the only non-count step
-    # and stays inside the Arrow batch (per-document, not per-row-Python-UDF).
-    lowered = t.str.lower().str.findall(WORD_RE)
+    # TTR + lexicon hit reuse the token lists from the single findall pass.
     ttr = np.zeros(len(t))
     unsafe = np.zeros(len(t), dtype=bool)
     kw_hits = np.zeros(len(t))

@@ -24,20 +24,25 @@ def _c(col: str | Column) -> Column:
 
 
 def token_count(col: str | Column) -> Column:
-    """Whitespace/word-regex token count (BPE-ish boundary regex)."""
-    return F.size(F.regexp_extract_all(_c(col), F.lit(WORD_RE), 0)).cast("long")
+    """Whitespace/word-regex token count (BPE-ish boundary regex).
+
+    regexp_count, not size(regexp_extract_all) (r6): same non-overlapping
+    match count (verified value-for-value on the documents table), but the
+    codegen counts matches in place instead of materializing every match
+    into an array first."""
+    return F.regexp_count(_c(col), F.lit(WORD_RE)).cast("long")
 
 
 def punct_ratio(col: str | Column) -> Column:
     c = _c(col)
-    return F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0)) / F.greatest(
+    return F.regexp_count(c, F.lit(PUNCT_RE)) / F.greatest(
         F.length(c), F.lit(1)
     )
 
 
 def stopword_ratio(col: str | Column) -> Column:
     c = _c(col)
-    stops = F.size(F.regexp_extract_all(F.lower(c), F.lit(STOPWORD_RE), 0))
+    stops = F.regexp_count(F.lower(c), F.lit(STOPWORD_RE))
     return stops / F.greatest(token_count(c), F.lit(1))
 
 
@@ -56,7 +61,7 @@ def lang_guess(col: str | Column) -> Column:
     """n-gram/stopword language-ID heuristic (CJK chars -> zh; English
     stopword density -> en; else other)."""
     c = _c(col)
-    the_count = F.size(F.regexp_extract_all(F.lower(c), F.lit("\\bthe\\b"), 0))
+    the_count = F.regexp_count(F.lower(c), F.lit("\\bthe\\b"))
     return (
         F.when(c.rlike(CJK_RE), "zh")
         .when(the_count >= 3, "en")
@@ -241,8 +246,8 @@ def pii_counts(col: str | Column) -> tuple[Column, Column]:
     scrub (pipelines track redaction rates per source)."""
     c = _c(col)
     return (
-        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("long"),
-        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0)).cast("long"),
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
     )
 
 

@@ -212,7 +212,7 @@ def p6_criteria_conjunction(spark, sf_dir):
     return d.where(
         (F.col("lang") == "en")
         & F.col("n_chars").between(150, 450)
-        & (F.size(F.regexp_extract_all("text", F.lit(WORD_RE), 0)) >= 20)
+        & (F.regexp_count("text", F.lit(WORD_RE)) >= 20)
     ).agg(F.count("*").alias("n_valid"))
 
 
@@ -425,12 +425,12 @@ def v1_readability_sql(spark, sf_dir):
     proves the scorer's feature extraction is SQL-checkable (replaces the
     LLM validator, agents/nodes.py:229-258)."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
-    n_words = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), 0))
-    n_sents = F.greatest(F.size(F.regexp_extract_all("text", F.lit(SENT_RE), 0)), F.lit(1))
+    n_words = F.regexp_count("text", F.lit(WORD_RE))
+    n_sents = F.greatest(F.regexp_count("text", F.lit(SENT_RE)), F.lit(1))
     n_syll = F.greatest(
         n_words,
-        F.size(F.regexp_extract_all("text", F.lit(VOWEL_RE), 0))
-        - F.size(F.regexp_extract_all("text", F.lit(SILENT_E_RE), 0)),
+        F.regexp_count("text", F.lit(VOWEL_RE))
+        - F.regexp_count("text", F.lit(SILENT_E_RE)),
     )
     fk = F.round(
         0.39 * (n_words / n_sents) + 11.8 * (n_syll / F.greatest(n_words, F.lit(1))) - 15.59,
