@@ -81,49 +81,12 @@ def make_extract_and_score_udf(cfg: CriteriaConfig):
 # would cross the Python<->JVM Arrow boundary twice (generator out, extract
 # UDF in) only to be REPLACED by the extraction output — it never appears in
 # the final frame. Running generation, extraction and scoring in ONE
-# mapInPandas stage over the id range eliminates both crossings of the
+# mapInArrow stage over the id range eliminates both crossings of the
 # heaviest column (guide §4.1/§2.3: shuffle/ship fewer bytes — here, zero
 # bytes of raw spans). Row values are identical by construction (same
 # gen_doc / extract_document / score_texts calls); pinned row-for-row by
 # tests/test_fused_impl.py.
 # ---------------------------------------------------------------------------
-
-
-def _fused_compute(ids, seed: int, mega_every: int,
-                   cfg: CriteriaConfig) -> pd.DataFrame:
-    """Generate + extract + score one id slice (module-level so the fork
-    helper can resolve it by reference)."""
-    from ..corpus import gen_doc
-
-    rows = []
-    for idx in ids:
-        fam = (
-            "mega_doc"
-            if (mega_every and idx % mega_every == mega_every - 1)
-            else None
-        )
-        rows.append(gen_doc(int(idx), seed, family=fam))
-    extracted = [extract_document(r["spans"]) for r in rows]
-    texts = pd.Series(
-        [
-            " ".join(sp["text"] for sp in doc if sp["kind"] in TEXT_KINDS)
-            for doc in extracted
-        ]
-    )
-    scored = score_texts(texts, cfg)
-    return pd.DataFrame(
-        {
-            "doc_id": [r["doc_id"] for r in rows],
-            "spans": extracted,
-            "standard": [r["standard"] for r in rows],
-            "subject": [r["subject"] for r in rows],
-            "chapter": [r["chapter"] for r in rows],
-            "content_type": [r["content_type"] for r in rows],
-            "n_spans": pd.array([len(d) for d in extracted], dtype="int32"),
-            "n_chars": texts.str.len().astype("int32"),
-            "validation": scored[_VALIDATION_FIELDS].to_dict("records"),
-        }
-    )
 
 
 # One persistent fork-helper per (reused) Python worker, keyed by pid. With
@@ -163,35 +126,96 @@ def _get_fused_pool(n_helpers: int):
     return pool
 
 
-def make_generate_extract_score_fn(cfg: CriteriaConfig, seed: int,
-                                   mega_every: int, procs: int = 1):
-    """Build the fused mapInPandas function: Iterator[pdf(id)] ->
-    Iterator[pdf(doc columns + n_spans + n_chars + validation)].
+def _fused_compute_batch(ids, seed: int, mega_every: int, cfg: CriteriaConfig,
+                         out_fields):
+    """Arrow twin of _fused_compute: returns a pyarrow.RecordBatch built
+    directly from the kernel outputs. Each fork-helper slice becomes its
+    own output batch, so the object->Arrow conversion (the single most
+    expensive non-kernel step in the worker) runs in PARALLEL across the
+    helpers instead of serially in the worker thread after reassembly."""
+    import pyarrow as pa
 
-    ``procs=2`` splits every sufficiently large batch between the worker
-    and its fork helper (see _get_fused_pool) — identical output rows in
-    identical order, pinned by tests/test_fused_impl.py."""
+    from ..corpus import gen_doc
 
-    def generate_extract_score(batches):
+    rows = []
+    for idx in ids:
+        fam = (
+            "mega_doc"
+            if (mega_every and idx % mega_every == mega_every - 1)
+            else None
+        )
+        rows.append(gen_doc(int(idx), seed, family=fam))
+    extracted = [extract_document(r["spans"]) for r in rows]
+    texts = pd.Series(
+        [
+            " ".join(sp["text"] for sp in doc if sp["kind"] in TEXT_KINDS)
+            for doc in extracted
+        ]
+    )
+    scored = score_texts(texts, cfg)
+    types = dict(out_fields)
+    validation_type = types["validation"]
+    validation = pa.StructArray.from_arrays(
+        [
+            pa.array(scored[f.name], type=f.type, from_pandas=True)
+            for f in validation_type
+        ],
+        fields=list(validation_type),
+    )
+    cols = {
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.string()),
+        "spans": pa.array(extracted, type=types["spans"]),
+        "standard": pa.array([r["standard"] for r in rows], type=pa.string()),
+        "subject": pa.array([r["subject"] for r in rows], type=pa.string()),
+        "chapter": pa.array([r["chapter"] for r in rows], type=pa.string()),
+        "content_type": pa.array(
+            [r["content_type"] for r in rows], type=pa.string()
+        ),
+        "n_spans": pa.array([len(d) for d in extracted], type=pa.int32()),
+        "n_chars": pa.array(
+            texts.str.len().astype("int32"), type=pa.int32()
+        ),
+        "validation": validation,
+    }
+    schema = pa.schema([pa.field(n, t) for n, t in out_fields])
+    return pa.RecordBatch.from_arrays(
+        [cols[n] for n, _t in out_fields], schema=schema
+    )
+
+
+def make_generate_extract_score_batch_fn(cfg: CriteriaConfig, seed: int,
+                                         mega_every: int, out_fields,
+                                         procs: int = 1):
+    """mapInArrow form of the fused stage: Iterator[RecordBatch(id)] ->
+    Iterator[RecordBatch(doc columns + n_spans + n_chars + validation)].
+    Yields one output batch per fork-helper slice — no pandas reassembly,
+    no single-threaded object->Arrow conversion in the worker."""
+
+    def generate_extract_score_batches(batches):
         pool = _get_fused_pool(procs - 1) if procs > 1 else None
-        for pdf in batches:
-            ids = pdf["id"].tolist()
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
             if pool is not None and len(ids) >= procs * _MIN_SPLIT:
                 step = (len(ids) + procs - 1) // procs
                 slices = [ids[i : i + step] for i in range(0, len(ids), step)]
                 pending = [
                     pool.apply_async(
-                        _fused_compute, (s, seed, mega_every, cfg)
+                        _fused_compute_batch,
+                        (s, seed, mega_every, cfg, out_fields),
                     )
                     for s in slices[1:]
                 ]
-                parts = [_fused_compute(slices[0], seed, mega_every, cfg)]
-                parts.extend(p.get() for p in pending)
-                yield pd.concat(parts, ignore_index=True)
+                yield _fused_compute_batch(
+                    slices[0], seed, mega_every, cfg, out_fields
+                )
+                for p in pending:
+                    yield p.get()
             else:
-                yield _fused_compute(ids, seed, mega_every, cfg)
+                yield _fused_compute_batch(
+                    ids, seed, mega_every, cfg, out_fields
+                )
 
-    return generate_extract_score
+    return generate_extract_score_batches
 
 
 # ---------------------------------------------------------------------------

@@ -58,11 +58,10 @@ def _resolve_impl(impl: str | None) -> str:
 
 def _extract_generated(spark, spec, cfg: CriteriaConfig,
                        n_buckets: int) -> DataFrame:
-    """Fused plan for a corpus_df-generated input: ONE mapInPandas stage
+    """Fused plan for a corpus_df-generated input: ONE mapInArrow stage
     (generate -> extract -> score), then JVM-side bucket/is_valid columns.
     Output schema, column order and row values are identical to the
     unfused path (pinned by tests/test_fused_impl.py)."""
-    from ..operators.extract import make_generate_extract_score_fn
     from ..schemas import DOCUMENTS_SCHEMA
 
     result_fields = {f.name: f.dataType for f in EXTRACT_RESULT_TYPE.fields}
@@ -88,13 +87,24 @@ def _extract_generated(spark, spec, cfg: CriteriaConfig,
         procs = int(spark.conf.get("spark.task.cpus", "1"))
         if procs > 1 and spark.sparkContext.master.startswith("local"):
             procs += 1
-    fn = make_generate_extract_score_fn(
-        cfg, spec.seed, spec.mega_every, procs=procs
-    )
     base = spark.range(
         spec.start, spec.start + spec.n_docs, 1, spec.num_partitions
     )
-    out = base.mapInPandas(fn, out_schema)
+    # mapInArrow output (A/B'd 3-4 s faster than a mapInPandas twin at
+    # 960k docs): every helper slice is built directly as an Arrow
+    # RecordBatch in the helper process, so the object->Arrow conversion
+    # parallelizes instead of serializing in the worker thread
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from ..operators.extract import make_generate_extract_score_batch_fn
+
+    out_fields = [
+        (f.name, to_arrow_type(f.dataType)) for f in out_schema.fields
+    ]
+    fn = make_generate_extract_score_batch_fn(
+        cfg, spec.seed, spec.mega_every, out_fields, procs=procs
+    )
+    out = base.mapInArrow(fn, out_schema)
     # bucket is JVM-side (xxhash64) and must sit between the document
     # columns and the extraction columns to match the unfused column order
     out = with_bucket(out, n_buckets)

@@ -41,9 +41,10 @@ def test_fused_schema_matches_pandas(spark):
 
 def test_fused_plan_is_single_python_stage(spark):
     plan = _plan(extract_documents(corpus_df(spark, 8, seed=3)))
-    # one MapInPandas (the fused stage), no second Python boundary
-    assert plan.count("MapInPandas") == 1
-    assert "ArrowEvalPython" not in plan and "Exchange" not in plan
+    # one MapInArrow (the fused stage), no second Python boundary
+    assert plan.count("MapInArrow") == 1
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan
 
 
 def test_fused_falls_back_without_gen_spec(spark):
