@@ -106,7 +106,10 @@ def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
         raise PngUnsupported("not a PNG byte stream")
     try:
         return _parse_png(content)
-    except (struct.error, IndexError, ValueError) as e:
+    except (struct.error, IndexError, ValueError, zlib.error) as e:
+        # zlib.error: well-formed container, corrupt IDAT deflate stream
+        # (r5 ADVICE) — must land in the quarantine column like any other
+        # parse failure, never crash the batch
         raise PngUnsupported(f"malformed/truncated PNG stream: {e}") from None
 
 

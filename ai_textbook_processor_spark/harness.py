@@ -765,7 +765,10 @@ def dd_ngram_jaccard(spark, sf_dir):
     from .operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, top_k=20)
+    # max_df=None EXPLICITLY: the oracle declares the exhaustive-join
+    # semantics; the operator's default is now a stop-shingle cap (r6)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, top_k=20,
+                               max_df=None)
 
 
 @query(

