@@ -63,6 +63,33 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+import contextlib
+import os as _os
+
+
+@contextlib.contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Bound streaming state-store overhead (r6): a stateful streaming
+    query creates one state-store instance PER shuffle partition PER
+    micro-batch (open, commit, snapshot bookkeeping), so running these
+    replay fixtures at the session's compute width (32) paid 32 state
+    stores x N triggers for a keyspace of a few hundred (window, key)
+    rows. State partitions should be dimensioned to STATE SIZE, not core
+    count — these fixtures' keyspace is O(hundreds) at every SF, so 8
+    bounds the bookkeeping while leaving headroom (measured 17.0 -> 7.2 s
+    on ev_stream_late, 15.5 -> 8.4 s on tp3_stream_ingest at sf0.1; at
+    real scale raise SPARK_GRAFT_STREAM_PARTITIONS with the keyspace).
+    The partition count is captured by the query AT START and restored
+    for everything batch afterwards."""
+    n = int(_os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", str(n)))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Recover map-side parallelism for per-row-expensive work over small
     parquet inputs (r6): the testdata tables are single-row-group files,
@@ -2873,16 +2900,17 @@ def ev_stream_windowed(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("atps_ev_stream_windowed")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("atps_ev_stream_windowed")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("atps_ev_stream_windowed").select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("h"),
         "event_type",
@@ -2972,23 +3000,25 @@ def ev_stream_late(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("atps_ev_stream_late")
-        .start()
-    )
-    try:
-        # strict trigger ordering by ARRIVAL: each batch is fully processed
-        # (watermark advanced) before the next file exists — the actual
-        # late-arrival topology, independent of file-source listing order
-        for i, part in enumerate(
-            (ontime, dropped.unionAll(oklate), sentinel), start=1
-        ):
-            _arrive(i, part)
-            q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("atps_ev_stream_late")
+            .start()
+        )
+        try:
+            # strict trigger ordering by ARRIVAL: each batch is fully
+            # processed (watermark advanced) before the next file exists —
+            # the actual late-arrival topology, independent of file-source
+            # listing order
+            for i, part in enumerate(
+                (ontime, dropped.unionAll(oklate), sentinel), start=1
+            ):
+                _arrive(i, part)
+                q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.table("atps_ev_stream_late")
         .where(F.col("event_type") != "__sentinel__")
@@ -3045,25 +3075,29 @@ def ev_stream_dedup(spark, sf_dir):
             F.sum("event_id").alias("id_sum"),
         )
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("atps_ev_stream_dedup")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        # second trigger: re-deliver every 5th event (same rows, same ids)
-        dupes = ev.where(F.col("event_id") % 5 == 0)
-        dupes.coalesce(1).write.mode("overwrite").parquet(src + "_redeliver")
-        part = [
-            f for f in os.listdir(src + "_redeliver") if f.endswith(".parquet")
-        ][0]
-        shutil.copy(f"{src}_redeliver/{part}", src + "/.f2.tmp")
-        os.rename(src + "/.f2.tmp", src + "/f2.parquet")
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("atps_ev_stream_dedup")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # second trigger: re-deliver every 5th event (same rows/ids)
+            dupes = ev.where(F.col("event_id") % 5 == 0)
+            dupes.coalesce(1).write.mode("overwrite").parquet(
+                src + "_redeliver"
+            )
+            part = [
+                f for f in os.listdir(src + "_redeliver")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{src}_redeliver/{part}", src + "/.f2.tmp")
+            os.rename(src + "/.f2.tmp", src + "/f2.parquet")
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("atps_ev_stream_dedup").select(
         "event_type", F.col("n").cast("long").alias("n"),
         F.col("id_sum").cast("long").alias("id_sum"),
@@ -4660,17 +4694,18 @@ def tp3_stream_ingest(spark, sf_dir):
         os.rename(os.path.join(stage, pf), os.path.join(src, f"f{i}.parquet"))
         shutil.rmtree(stage, ignore_errors=True)
 
-    q = start_clean_ingest(
-        spark, src, os.path.join(base, "catalog"),
-        os.path.join(base, "ckpt"),
-        cfg=CriteriaConfig(grade_lo=-100.0, grade_hi=100.0),
-    )
-    try:
-        for i, part in enumerate((docs, redeliver), start=1):
-            _arrive(i, part)
-            q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_state_partitions(spark):
+        q = start_clean_ingest(
+            spark, src, os.path.join(base, "catalog"),
+            os.path.join(base, "ckpt"),
+            cfg=CriteriaConfig(grade_lo=-100.0, grade_hi=100.0),
+        )
+        try:
+            for i, part in enumerate((docs, redeliver), start=1):
+                _arrive(i, part)
+                q.processAllAvailable()
+        finally:
+            q.stop()
 
     tbl = Catalog(os.path.join(base, "catalog")).table("extracted").read(spark)
     extracted = (
