@@ -748,15 +748,19 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.bits = (self.bits << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.bits)
-                if self.bits == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.bits = 0
-                self.nbits = 0
+        # whole-field shift (r6): append all `length` bits at once and
+        # emit complete bytes MSB-first — bit-for-bit the same stream as
+        # the per-bit loop (stuffing decision per emitted byte), ~6x
+        # fewer Python ops on the encoder hot path
+        self.bits = (self.bits << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.bits >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.bits &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:
@@ -1010,9 +1014,13 @@ def _emit_ac_refine(bw, ac_enc, band, al):
     buf: list[int] = []
 
     def flush():
-        for bit in buf:
-            bw.write(bit, 1)
-        buf.clear()
+        # one multi-bit write in buffered order (bit-identical stream)
+        if buf:
+            v = 0
+            for bit in buf:
+                v = (v << 1) | bit
+            bw.write(v, len(buf))
+            buf.clear()
 
     pending = False  # any zero-run/corrections not yet closed by a symbol
     for v in band:

@@ -4404,6 +4404,9 @@ def s6_jpeg_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30).select(
         F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
     )
+    # per-asset codec work is seconds-scale; spread the single-row-group
+    # scan so each asset decodes in its own task (r6)
+    d = _spread(d)
 
     def mk(batches):
         for pdf in batches:
@@ -4464,6 +4467,7 @@ def s6_progressive_jpeg(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30).select(
         F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
     )
+    d = _spread(d)  # one asset per task (see s6_jpeg_features)
 
     def run(batches):
         for pdf in batches:
@@ -4533,6 +4537,7 @@ def s6_reencode_chain(spark, sf_dir):
         "doc_id",
         "n_chars",
     )
+    d = _spread(d)  # one asset per task (see s6_jpeg_features)
 
     def run(batches):
         for pdf in batches:
