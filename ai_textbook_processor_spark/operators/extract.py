@@ -10,6 +10,8 @@ document per HTTP request, serially: ``routes/route.py:79-102``).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -225,9 +227,14 @@ def make_generate_extract_score_batch_fn(cfg: CriteriaConfig, seed: int,
     Yields one output batch per fork-helper slice — no pandas reassembly,
     no single-threaded object->Arrow conversion in the worker."""
 
+    lookahead = os.environ.get("SPARK_GRAFT_FUSED_LOOKAHEAD", "1") != "0"
+
     def generate_extract_score_batches(batches):
         pool = _get_fused_pool(procs - 1) if procs > 1 else None
-        for batch in batches:
+
+        def submit(batch):
+            """Split a batch's ids; helper slices start computing NOW,
+            the worker's own slice is returned for synchronous compute."""
             ids = batch.column(0).to_pylist()
             if pool is not None and len(ids) >= procs * _MIN_SPLIT:
                 step = (len(ids) + procs - 1) // procs
@@ -239,15 +246,41 @@ def make_generate_extract_score_batch_fn(cfg: CriteriaConfig, seed: int,
                     )
                     for s in slices[1:]
                 ]
-                yield _fused_compute_batch(
-                    slices[0], seed, mega_every, cfg, out_fields
-                )
-                for p in pending:
-                    yield p.get()
-            else:
-                yield _fused_compute_batch(
-                    ids, seed, mega_every, cfg, out_fields
-                )
+                return slices[0], pending
+            return ids, []
+
+        # 1-batch lookahead: batch k+1's helper slices are submitted BEFORE
+        # batch k's results are yielded, so the helpers compute k+1 while
+        # the worker thread is busy with Arrow IPC to the JVM (the yield).
+        # Safe to pull ahead: the JVM feeds the input stream from a
+        # dedicated writer thread, independent of output reads. Output
+        # order is unchanged (batches in input order; within a batch the
+        # worker slice then helper slices in slice order) — pinned by
+        # tests/test_fused_impl.py.
+        it = iter(batches)
+        cur = next(it, None)
+        if cur is None:
+            return
+        own, pending = submit(cur)
+        while True:
+            own_result = _fused_compute_batch(
+                own, seed, mega_every, cfg, out_fields
+            )
+            nxt = None
+            if lookahead:
+                nxt = next(it, None)
+                if nxt is not None:
+                    nxt_state = submit(nxt)
+            yield own_result
+            for p in pending:
+                yield p.get()
+            if not lookahead:
+                nxt = next(it, None)
+                if nxt is not None:
+                    nxt_state = submit(nxt)
+            if nxt is None:
+                return
+            own, pending = nxt_state
 
     return generate_extract_score_batches
 
