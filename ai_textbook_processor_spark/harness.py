@@ -4773,7 +4773,10 @@ def _qc_model(spark, sf_dir):
     sf0.1 and scan-bound at 100 TB."""
     from .operators.classifier import featurize_docs, logreg_fit
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread (r6): the single-row-group scan ran the tokenize/explode map
+    # side as ONE task; counts are exact integers and the gradients are
+    # fixed-point, so the fitted weights are partition-independent
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id", "lang", "text")
     feats = featurize_docs(docs, label=F.col("lang") == "en")
     w, b, hist = logreg_fit(feats)
     return feats, w, b, hist
@@ -4828,9 +4831,18 @@ def qc_logreg_eval(spark, sf_dir):
     feats, w, b, hist = _qc_model(spark, sf_dir)
     from .operators.classifier import score_expr
 
-    p = score_expr(w, b)
-    pos, truth = p >= 0.5, F.col("y") >= 0.5
-    out = feats.agg(
+    # project the dot-product fold once per row (r6): referencing the
+    # scored probability in all four confusion cells re-evaluates the
+    # interpreted 64-element fold per cell (no cross-expression CSE). Only
+    # ``sdot`` is projected (a Project child of an Aggregate survives the
+    # optimizer); the sigmoid arithmetic over that column is a handful of
+    # codegen'd scalar ops per cell, and the values are identical.
+    from .operators.classifier import _sdot_expr, _sigmoid
+
+    rowed = feats.select("y", "n", _sdot_expr(w).alias("sdot"))
+    p_col = _sigmoid(F.lit(float(b)) + F.col("sdot") / F.col("n"))
+    pos, truth = p_col >= 0.5, F.col("y") >= 0.5
+    out = rowed.agg(
         F.sum((truth & pos).cast("long")).alias("tp"),
         F.sum((~truth & pos).cast("long")).alias("fp"),
         F.sum((truth & ~pos).cast("long")).alias("fn"),

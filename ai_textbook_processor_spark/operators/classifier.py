@@ -131,17 +131,21 @@ def featurize_docs(
     )
 
 
-def score_expr(weights: list[float], bias: float) -> Column:
-    """P(y=1 | feats, n) for the given model, as a pure Column over the
-    featurize_docs schema.  Dot product is a left fold in feature order
-    (deterministic); tf normalization divides the fold result once."""
+def _sdot_expr(weights: list[float]) -> Column:
+    """The deterministic left-fold dot product w·feats (feature order)."""
     wlit = F.array(*[F.lit(float(w)) for w in weights])
-    sdot = F.aggregate(
+    return F.aggregate(
         F.zip_with(wlit, F.col("feats"), lambda w, c: w * c),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    logit = F.lit(float(bias)) + sdot / F.col("n")
+
+
+def score_expr(weights: list[float], bias: float) -> Column:
+    """P(y=1 | feats, n) for the given model, as a pure Column over the
+    featurize_docs schema.  Dot product is a left fold in feature order
+    (deterministic); tf normalization divides the fold result once."""
+    logit = F.lit(float(bias)) + _sdot_expr(weights) / F.col("n")
     return _sigmoid(logit)
 
 
@@ -161,15 +165,37 @@ def logreg_fit(
 
     Returns (weights, bias, per-iteration correct-counts) — the counts are
     integers, so the training curve itself is engine-exact evidence."""
-    feats = feats.localCheckpoint(eager=False)
+    # Spread the feature table to the session's shuffle width before the
+    # checkpoint (r6): AQE's partition coalescing collapses the small
+    # post-aggregation table to ONE partition locally, which serializes
+    # every iteration's per-row work; integer counts and fixed-point
+    # gradient sums are commutative, so the fitted weights are identical
+    # at any partitioning. Width follows spark.sql.shuffle.partitions
+    # (scale-adaptive); at real scale this is a rebalance-sized exchange
+    # of the dim+3-column table, paid once for ``iters`` scans.
+    n_parts = int(
+        feats.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    feats = feats.repartition(n_parts).localCheckpoint(eager=False)
     w = [0.0] * dim
     b = 0.0
     history: list[int] = []
     n_docs = None
     for _ in range(iters):
-        p = score_expr(w, b)
-        err = p - F.col("y")
         q = F.lit(float(GRAD_SCALE))
+        # Project the dot-product fold ONCE per row below the aggregate
+        # (r6): Spark has no cross-expression CSE, so referencing the
+        # sigmoid/error expression inside all dim+1 gradient sums
+        # re-evaluated the interpreted 64-element fold dim+2 times per
+        # row (and a p/err projection still embeds it 4x — the sigmoid
+        # references its operand twice). Only ``sdot`` is projected; the
+        # per-term error arithmetic over that column is a handful of
+        # codegen'd scalar ops and keeps the exact expression shape, so
+        # every sum (and the fitted weights) is bit-identical (literal
+        # oracle + pure-Python twin re-verified).
+        rowed = feats.select("y", "n", "feats", _sdot_expr(w).alias("sdot"))
+        p = _sigmoid(F.lit(float(b)) + F.col("sdot") / F.col("n"))
+        err = p - F.col("y")
         aggs = [
             F.sum(
                 F.round(
@@ -183,7 +209,7 @@ def logreg_fit(
         aggs.append(
             F.sum(((p >= 0.5) == (F.col("y") >= 0.5)).cast("long")).alias("ok")
         )
-        row = feats.agg(*aggs).collect()[0]
+        row = rowed.agg(*aggs).collect()[0]
         n_docs = int(row["nd"])
         history.append(int(row["ok"]))
         w = [
