@@ -389,6 +389,12 @@ def ivfpq_build(
                 lambda x, c: x - c,
             ).alias("resid"),
         )
+        # r6: the residual frame is consumed 4x (pq_train's seed collect,
+        # the subvector checkpoint, pq_encode, the index join) and Spark
+        # has no cross-plan reuse (r3 learning) — without the barrier the
+        # coarse-assignment crossJoin + zip_with lineage recomputes each
+        # time. Lazy so a single-consumer caller pays no extra job.
+        .localCheckpoint(eager=False)
     )
     book = pq_train(resid, m=m, k_sub=k_sub, iters=iters,
                     id_col=id_col, vec_col="resid")
