@@ -4349,6 +4349,7 @@ def s6_png_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30).select(
         F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
     )
+    d = _spread(d)  # one asset per task (see s6_jpeg_features)
 
     def mk(batches):
         for pdf in batches:
