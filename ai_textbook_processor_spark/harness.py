@@ -1401,6 +1401,13 @@ def _interleaved_from_documents(spark, sf_dir):
             F.lit(1).cast("int").alias("offset"),
         ),
     )
+    # _spread (r6): every consumer runs per-doc-expensive work (pandas-UDF
+    # extraction, quality/lang regexes, MinHash shingles) directly on this
+    # frame, and the single-row-group documents scan would run it all in
+    # ONE task. Row derivations are row-local and every downstream funnel/
+    # stat is an integer count or order-insensitive, so the round-robin
+    # exchange (a few MB) is value-invisible.
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         spans.alias("spans"),
@@ -1408,7 +1415,7 @@ def _interleaved_from_documents(spark, sf_dir):
         F.lit("science").alias("subject"),
         F.lit("1").alias("chapter"),
         F.lit("html").alias("content_type"),
-    )
+    ).repartition(n)
 
 
 @query("x1_extract_pipeline")  # rows-only: pandas-UDF kernels, no SQL oracle
