@@ -1017,6 +1017,8 @@ def dd_paragraph_dedup(spark, sf_dir):
     rather than materialized (operators.dedup.paragraph_dedup)."""
     from .operators.dedup import paragraph_dedup
 
+    # no _spread here (r6): paragraph_dedup scans its input twice, so the
+    # round-robin exchange is paid twice — measured net-negative
     d = _t(spark, sf_dir, "documents")
     return paragraph_dedup(d, "doc_id", "text", para_words=4, min_docs=3)
 
@@ -1085,7 +1087,10 @@ def dd_incremental_minhash(spark, sf_dir):
         minhash_signatures,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # _spread (r6): both halves re-tokenize/shingle from the single-row-
+    # group scan; signatures are per-doc integer-hash mins and all joins/
+    # verdicts integer-domain — partition-independent values
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id", "text")
     # in production this frame is a table the previous run committed
     index_sigs = minhash_signatures(
         d.where(F.col("doc_id") < 250), "doc_id", "text", shingle_n=3
@@ -1132,7 +1137,10 @@ def dd_substring_dupfrac(spark, sf_dir):
     (operators.dedup.substring_dup_coverage)."""
     from .operators.dedup import substring_dup_coverage
 
-    d = _t(spark, sf_dir, "documents")
+    # _spread (r6): tokenize + k-gram shingling ran in the single scan
+    # task; everything downstream is integer counts (countDistinct, longs)
+    # with a row-local final division, so values are partition-independent
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return substring_dup_coverage(d, "doc_id", "text", k=8, min_docs=2)
 
 
