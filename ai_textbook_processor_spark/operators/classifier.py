@@ -173,41 +173,61 @@ def logreg_fit(
     # at any partitioning. Width follows spark.sql.shuffle.partitions
     # (scale-adaptive); at real scale this is a rebalance-sized exchange
     # of the dim+3-column table, paid once for ``iters`` scans.
-    n_parts = int(
-        feats.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    spark = feats.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     feats = feats.repartition(n_parts).localCheckpoint(eager=False)
+
+    # De-literalized, build-once iteration plan (r6 third pass). Two
+    # measured per-iteration costs vanish together when the model rides a
+    # broadcast 1-row frame (``_w`` array + ``_bias``) instead of plan
+    # literals: (a) constructing the 67 aggregate Column trees cost
+    # 0.6-0.8 s of driver-side py4j per iteration — more than the job's
+    # own execution — and is now paid once; (b) the physical plan and
+    # generated code are identical across iterations, so codegen compiles
+    # once. The fold runs over the SAME doubles in the SAME order
+    # (zip_with over the weight array column vs. a literal array), the
+    # sigmoid/error arithmetic keeps its exact shape, and the gradient
+    # sums stay fixed-point int64 — the fitted weights are bit-identical
+    # (pure-Python twin + literal oracles re-verified).
+    #
+    # Project the dot-product fold ONCE per row below the aggregate (r6):
+    # Spark has no cross-expression CSE, so referencing the sigmoid/error
+    # expression inside all dim+1 gradient sums re-evaluated the
+    # interpreted 64-element fold dim+2 times per row. Only ``sdot`` is
+    # projected (a Project child of an Aggregate survives the optimizer).
+    q = F.lit(float(GRAD_SCALE))
+    sdot = F.aggregate(
+        F.zip_with(F.col("_w"), F.col("feats"), lambda w_, c: w_ * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    p = _sigmoid(F.col("_bias") + F.col("sdot") / F.col("n"))
+    err = p - F.col("y")
+    aggs = [
+        F.sum(
+            F.round(
+                (err * (F.element_at("feats", j + 1) / F.col("n"))) * q, 0
+            ).cast("long")
+        ).alias(f"g{j}")
+        for j in range(dim)
+    ]
+    aggs.append(F.sum(F.round(err * q, 0).cast("long")).alias("gb"))
+    aggs.append(F.count(F.lit(1)).alias("nd"))
+    aggs.append(
+        F.sum(((p >= 0.5) == (F.col("y") >= 0.5)).cast("long")).alias("ok")
+    )
+
     w = [0.0] * dim
     b = 0.0
     history: list[int] = []
     n_docs = None
     for _ in range(iters):
-        q = F.lit(float(GRAD_SCALE))
-        # Project the dot-product fold ONCE per row below the aggregate
-        # (r6): Spark has no cross-expression CSE, so referencing the
-        # sigmoid/error expression inside all dim+1 gradient sums
-        # re-evaluated the interpreted 64-element fold dim+2 times per
-        # row (and a p/err projection still embeds it 4x — the sigmoid
-        # references its operand twice). Only ``sdot`` is projected; the
-        # per-term error arithmetic over that column is a handful of
-        # codegen'd scalar ops and keeps the exact expression shape, so
-        # every sum (and the fitted weights) is bit-identical (literal
-        # oracle + pure-Python twin re-verified).
-        rowed = feats.select("y", "n", "feats", _sdot_expr(w).alias("sdot"))
-        p = _sigmoid(F.lit(float(b)) + F.col("sdot") / F.col("n"))
-        err = p - F.col("y")
-        aggs = [
-            F.sum(
-                F.round(
-                    (err * (F.element_at("feats", j + 1) / F.col("n"))) * q, 0
-                ).cast("long")
-            ).alias(f"g{j}")
-            for j in range(dim)
-        ]
-        aggs.append(F.sum(F.round(err * q, 0).cast("long")).alias("gb"))
-        aggs.append(F.count(F.lit(1)).alias("nd"))
-        aggs.append(
-            F.sum(((p >= 0.5) == (F.col("y") >= 0.5)).cast("long")).alias("ok")
+        wdf = spark.createDataFrame(
+            [([float(x) for x in w], float(b))],
+            "_w array<double>, _bias double",
+        )
+        rowed = feats.crossJoin(F.broadcast(wdf)).select(
+            "y", "n", "feats", "_bias", sdot.alias("sdot")
         )
         row = rowed.agg(*aggs).collect()[0]
         n_docs = int(row["nd"])

@@ -199,12 +199,24 @@ def pq_train(
     on a sampled slice (stratified_sample upstream) and broadcast the
     resulting m*k_sub-row codebook everywhere, so training cost is
     independent of corpus size."""
+    spark = df.sparkSession
+
+    # seeds: the k_sub smallest ids' subvectors for every subspace from
+    # ONE model-sized collect of the full vectors, sliced driver-side
+    # (float32 -> float64 widening is exact either side of the boundary).
+    # Collected FIRST so dim can be read off the seed rows (r6 third
+    # pass): the dim=None path previously paid a whole extra first() job
+    # over the full frame just to learn the vector width.
+    seed_rows = (
+        df.orderBy(id_col).limit(k_sub)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = len(seed_rows[0]["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
-    spark = df.sparkSession
 
     # r6: ONE Lloyd loop over the combined (sub, id, subvec) frame instead
     # of m independent kmeans_fit loops — every driver-synchronized step
@@ -214,28 +226,25 @@ def pq_train(
     # id-ascending order as the per-subspace loops, the assignment uses
     # the same -dist2/max_by tiebreak, and the means round identically,
     # so the codebook is value-identical (literal oracles unchanged).
-    sv = _pq_subvectors(df, m, d, id_col, vec_col).localCheckpoint()
-
-    # seeds: the k_sub smallest ids' subvectors for every subspace from
-    # ONE model-sized collect of the full vectors, sliced driver-side
-    # (float32 -> float64 widening is exact either side of the boundary)
-    seed_rows = (
-        df.orderBy(id_col).limit(k_sub)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
+    # lazy checkpoint (r6 third pass): the first iteration's assignment
+    # job materializes + caches sv — same compute, one fewer driver-
+    # synchronized job than the old eager materialization.
+    sv = _pq_subvectors(df, m, d, id_col, vec_col).localCheckpoint(eager=False)
     prev: dict = {
         (j, i): [float(x) for x in r["v"][j * d : (j + 1) * d]]
         for j in range(m)
         for i, r in enumerate(seed_rows)
     }
+    # per-iteration Column trees hoisted out of the loop (r6 third pass:
+    # expression construction is driver-side work — build once)
+    dist = dist2(F.col("v"), F.col("cemb"))
+    key = F.struct(F.col("simc").alias("s"), (-F.col("cid")).alias("c"))
+    mean_agg = F.round(F.avg("x"), 5).alias("c_mean")
     for _ in range(iters):
         cents = spark.createDataFrame(
             [(s, c, v) for (s, c), v in sorted(prev.items())],
             "sub int, cid long, cemb array<double>",
         )
-        dist = dist2(F.col("v"), F.col("cemb"))
-        key = F.struct(F.col("simc").alias("s"), (-F.col("cid")).alias("c"))
         assigned = (
             sv.join(F.broadcast(cents), "sub")
             .withColumn("simc", -dist)
@@ -248,7 +257,7 @@ def pq_train(
                 "sub", "cid", F.posexplode(F.col("v")).alias("pos0", "x")
             )
             .groupBy("sub", "cid", (F.col("pos0") + 1).alias("pos"))
-            .agg(F.round(F.avg("x"), 5).alias("c_mean"))
+            .agg(mean_agg)
             .collect()
         )
         by_cell: dict = {}
@@ -297,8 +306,12 @@ def pq_encode(
     per vector — then one groupBy(id) packing codes in subspace order.
     Deterministic tiebreak (distance, then cid)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    d = dim // m
+        # subspace width off the m*k_sub-row codebook (r6 third pass): a
+        # LocalTableScan/tiny-frame first() instead of a whole scan job
+        # over the full vector frame just to learn the vector width.
+        d = len(codebook.select("cemb").first()[0])
+    else:
+        d = dim // m
     sv = _pq_subvectors(df, m, d, id_col, vec_col)
     dist = dist2(F.col("v"), F.col("cemb"))
     key = F.struct((-F.col("_d")).alias("nd"), (-F.col("cid")).alias("nc"))
