@@ -84,6 +84,16 @@ def dsir_logweights(
     flagged = df.withColumn("_t", target_pred)
     counts = hashed_gram_buckets(flagged, id_col, text_col, buckets)
     counts = counts.join(flagged.select(id_col, "_t"), id_col)
+    # r6 third pass, measured: ``counts`` is consumed three times (the
+    # bucket model, its totals subquery, and the per-doc scoring join),
+    # and each consumer re-ran the full tokenize+shingle+hash lineage
+    # (no cross-plan reuse, r3 lesson).  Lazy localCheckpoint: one
+    # computation, identical rows AND identical single-lineage layout —
+    # the per-doc float sum in the scoring aggregate keeps exactly the
+    # row order it had (this operator is deliberately NOT spread: a
+    # multi-map-block layout would make that float merge order
+    # fetch-dependent, the §9b parity rule).
+    counts = counts.localCheckpoint(eager=False)
 
     # bucket-frequency models: <= 2*buckets rows total, Laplace add-one
     model = counts.groupBy("b").agg(

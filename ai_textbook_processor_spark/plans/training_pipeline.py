@@ -185,6 +185,23 @@ def _stages_from_extracted(
         .where(F.col("_rn") == 1)
         .select("doc_id", "text")
     )
+    # r6 third pass, measured: AQE coalesces the window's exchange to ONE
+    # partition at local scale, so the MinHash signature map work
+    # (shingle explode + K mins — the expensive per-doc stage downstream)
+    # ran serialized (tp2's sigs-checkpoint stage: 1 task, ~1.4 s warm).
+    # Round-robin to the session's shuffle width: every consumer of
+    # ``winners`` is integer/hash-domain (signature mins, band joins,
+    # funnel count sums — all commutative) or a key join, so the layout
+    # is value-invisible; width follows spark.sql.shuffle.partitions.
+    # Env toggle exists for the same-session A/B harness only.
+    import os as _os
+
+    _mode = _os.environ.get("SPARK_GRAFT_SPREAD_WINNERS", "ckpt")
+    if _mode in ("1", "ckpt"):
+        n_spread = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        winners = winners.repartition(n_spread)
+        if _mode == "ckpt":
+            winners = winners.localCheckpoint(eager=False)
 
     # near-dup dedup: LSH candidates -> connected components -> keep the
     # component's canonical (minimum) doc_id
