@@ -4274,6 +4274,7 @@ def s4_wav_transcribe(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30).select(
         F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
     )
+    d = _spread(d)  # one asset per task (see s6_jpeg_features)
 
     def mk(batches):
         for pdf in batches:
@@ -4313,6 +4314,7 @@ def mm_video_mjpeg(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 25).select(
         F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
     )
+    d = _spread(d)  # one asset per task (see s6_jpeg_features)
 
     def mk(batches):
         for pdf in batches:
@@ -4599,6 +4601,9 @@ def mm_video_frames(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
         F.col("doc_id").cast("string").alias("asset_id"), "n_chars"
     )
+    # no _spread (r6 third pass, measured): the synthetic per-frame
+    # byte-window features are too cheap for the exchange (0.38 -> 0.64 s,
+    # 0/4 interleaved pairs) — unlike the real-decode s4/mjpeg siblings
 
     def mk(batches):
         for pdf in batches:

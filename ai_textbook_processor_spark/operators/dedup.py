@@ -703,18 +703,6 @@ def semantic_dedup(
         F.sqrt(dot(emb_d, emb_d)).alias("nrm"),
         "cid",
     )
-    # r6 third pass, measured: ``assigned`` is consumed three times (both
-    # pair-join aliases + the final keep join) and Spark has no cross-plan
-    # reuse (r3 lesson) — the full assignment crossJoin + fold lineage ran
-    # three times, each serialized in the single-map-block layout of a
-    # one-row-group scan.  Spread to the session's shuffle width (every
-    # downstream value is an id/cid/bool — assignment is a deterministic
-    # per-row max_by, the pair test is row-pair-local, the keep rule a
-    # semi join; no float ever aggregates across rows, so layout is
-    # value-invisible) and lazily checkpoint so the first consumer
-    # materializes it once.
-    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    assigned = assigned.repartition(n_parts).localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.aggregate(
         F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),

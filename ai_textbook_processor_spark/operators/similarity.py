@@ -312,6 +312,11 @@ def pq_encode(
         d = len(codebook.select("cemb").first()[0])
     else:
         d = dim // m
+    # NOT spread (r6 third pass, measured): forcing a repartition here
+    # was a wash at sf0.1 (the fold subtree overlaps other AQE stages)
+    # and a mandatory full-frame exchange inside a scale-generic
+    # operator taxes every caller at 100 TB; callers that need map
+    # parallelism spread their input at the query level instead.
     sv = _pq_subvectors(df, m, d, id_col, vec_col)
     dist = dist2(F.col("v"), F.col("cemb"))
     key = F.struct((-F.col("_d")).alias("nd"), (-F.col("cid")).alias("nc"))
