@@ -2367,13 +2367,28 @@ def sim_ivfpq_sweep(spark, sf_dir):
         .select("vec_id")
         .localCheckpoint()
     )
-    rows = []
-    for p in (1, 2, 4):
-        approx = ivfpq_search(
-            index, book, coarse, q, k=10, m=4, n_probe=p
-        ).select("vec_id")
-        hits = approx.join(brute, "vec_id").count()
-        rows.append((p, hits, round(hits / 10.0, 2)))
+    # ONE driver job for all three sweep points (r6 third pass): the
+    # per-point top-10 lists are tagged with their n_probe and counted
+    # against the exact set in a single union+join+groupBy — identical
+    # per-point intersection counts, 3 driver-synchronized jobs -> 1.
+    probes = [
+        ivfpq_search(index, book, coarse, q, k=10, m=4, n_probe=p)
+        .select("vec_id")
+        .withColumn("n_probe", F.lit(p))
+        for p in (1, 2, 4)
+    ]
+    tagged = probes[0].unionAll(probes[1]).unionAll(probes[2])
+    hit_rows = (
+        tagged.join(brute, "vec_id")
+        .groupBy("n_probe")
+        .agg(F.count("*").alias("h"))
+        .collect()
+    )
+    hits_by_p = {int(r["n_probe"]): int(r["h"]) for r in hit_rows}
+    rows = [
+        (p, hits_by_p.get(p, 0), round(hits_by_p.get(p, 0) / 10.0, 2))
+        for p in (1, 2, 4)
+    ]
     return spark.createDataFrame(
         rows, "n_probe int, n_hit long, recall_at_10 double"
     )
