@@ -584,6 +584,15 @@ def _ac_refine_block(reader, act, cf, ss, se, al, eobrun) -> int:
     coefficient passed over. Returns the updated end-of-band run."""
     p1 = 1 << al
     k = ss
+    # r6 third pass (bit-identical): an EOB-run block with no nonzero
+    # history reads no bits at all — skip the whole sweep; otherwise
+    # mutate a local int list and write the band back once (the
+    # per-coefficient numpy scalar reads/writes were ~25 % of a large
+    # progressive decode).
+    seg = cf[ss : se + 1]
+    if eobrun > 0 and not seg.any():
+        return eobrun - 1
+    loc = seg.tolist()
     if eobrun == 0:
         while k <= se:
             sym = reader.decode_huff_fast(act)
@@ -604,10 +613,10 @@ def _ac_refine_block(reader, act, cf, ss, se, al, eobrun) -> int:
             # advance over r zero-history positions (16 for ZRL),
             # correcting the nonzero-history coefficients passed over
             while k <= se:
-                c = int(cf[k])
+                c = loc[k - ss]
                 if c != 0:
                     if reader.read_bit() and (abs(c) & p1) == 0:
-                        cf[k] = c + (p1 if c > 0 else -p1)
+                        loc[k - ss] = c + (p1 if c > 0 else -p1)
                 else:
                     if r == 0:
                         break
@@ -616,15 +625,16 @@ def _ac_refine_block(reader, act, cf, ss, se, al, eobrun) -> int:
             if s:
                 if k > se:
                     raise JpegUnsupported("AC refinement run past band end")
-                cf[k] = val
+                loc[k - ss] = val
             k += 1
     if eobrun > 0:
         while k <= se:  # correction sweep over the rest of the band
-            c = int(cf[k])
+            c = loc[k - ss]
             if c != 0 and reader.read_bit() and (abs(c) & p1) == 0:
-                cf[k] = c + (p1 if c > 0 else -p1)
+                loc[k - ss] = c + (p1 if c > 0 else -p1)
             k += 1
         eobrun -= 1
+    cf[ss : se + 1] = loc
     return eobrun
 
 
@@ -980,8 +990,14 @@ def _quantized_grids(comp_planes, samps, qids, qzz_arr, mcux, mcuy):
 def _emit_ac_first(bw, ac_enc, band, al):
     """One block's AC band, first scan (point transform |v| >> al,
     sign preserved); per-block EOB0, no cross-block EOB runs."""
+    if hasattr(band, "tolist"):  # one conversion, not 64 scalar reads (r6)
+        band = band.tolist()
+    if not any(band):  # all-zero band: t all zero, last_nz=-1 -> bare EOB0
+        length, code = ac_enc[0x00]
+        bw.write(code, length)
+        return
     t = [
-        (abs(int(v)) >> al) * (1 if v > 0 else -1) if v else 0
+        (abs(v) >> al) * (1 if v > 0 else -1) if v else 0
         for v in band
     ]
     run = 0
@@ -1010,6 +1026,19 @@ def _emit_ac_refine(bw, ac_enc, band, al):
     coefficients become (run, 1) symbols + a sign bit; every
     nonzero-history coefficient passed over contributes one buffered
     correction bit, flushed after each emitted symbol."""
+    # r6 third pass (bit-identical, md5-pinned): one tolist() instead of
+    # per-element numpy scalar reads, and an all-below-threshold fast
+    # path — such a block's whole emission is a bare EOB0 (every
+    # position only grows ``run``; no symbol, no correction bits), and
+    # in the high band most blocks qualify.
+    if hasattr(band, "tolist"):
+        band = band.tolist()
+    if (not any(band)) if al == 0 else all(
+        (v if v >= 0 else -v) >> al == 0 for v in band
+    ):
+        length, code = ac_enc[0x00]
+        bw.write(code, length)
+        return
     run = 0
     buf: list[int] = []
 
